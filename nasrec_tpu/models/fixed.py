@@ -1,0 +1,291 @@
+"""Standalone fixed-subnet model built from a choice JSON.
+
+Reference: SuperNet(fixed=True, fixed_choice=...) (ref: nasrec/supernet/
+supernet.py:945-982 node construction, :604-668 fixed_forward, :1185-1242
+block fixed_forward).  In fixed mode the reference *drops* non-selected inputs
+(shapes are exact, no masks) and creates only the chosen nodes with exact
+dims; projection layers are elided whenever the incoming width already
+matches (the LazyLinear pruning in modules.py).  Here those decisions are made
+statically in `build_fixed_plan`, which reproduces the warmup-time shape
+inference deterministically.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nasrec_tpu.config import (
+    DEFAULT_EMBEDDING_DIM,
+    DS_INTERACT_NUM_SPLITS,
+    OpsConfig,
+)
+from nasrec_tpu.choices import Choice, validate_choice
+from nasrec_tpu.models.embedding import (
+    embedding_stem_apply,
+    embedding_stem_init,
+    table_offsets,
+)
+from nasrec_tpu.ops import (
+    dot_product_apply,
+    dot_product_init,
+    elastic_linear3d_apply,
+    elastic_linear3d_init,
+    elastic_linear_apply,
+    elastic_linear_init,
+    fm3d_apply,
+    fm3d_init,
+    sigmoid_gating_apply,
+    sigmoid_gating_init,
+    sum_apply,
+    sum_init,
+    transformer_apply,
+    transformer_init,
+)
+from nasrec_tpu.ops.common import linear_apply, linear_init, ln_apply, ln_init
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockPlan:
+    """Static structure of one fixed choice block."""
+
+    active_nodes: Tuple[int, ...]        # node indices into space.node_names
+    dense_dim: int
+    sparse_dim: int
+    interact: bool
+    deep_fm: bool
+    dense_idx: Tuple[int, ...]           # ascending virtual-block selections
+    sparse_idx: Tuple[int, ...]
+    left_idx: Tuple[int, ...]
+    right_idx: Tuple[int, ...]
+    dense_in: int                        # concat widths
+    sparse_in: int
+    left_in: int
+    right_in: int
+    out_slots: int                       # sparse_dim (+8 if interact)
+
+
+@dataclasses.dataclass(frozen=True)
+class FixedPlan:
+    space: OpsConfig
+    num_blocks: int
+    num_dense: int
+    num_sparse: int
+    vocab_sizes: Tuple[int, ...]
+    emb_dim: int
+    use_layernorm: bool
+    activation: str
+    blocks: Tuple[BlockPlan, ...]
+    head_width: int
+    use_final_sigmoid: bool = False
+
+
+def build_fixed_plan(
+    choice: Choice,
+    space: OpsConfig,
+    num_blocks: int,
+    num_dense: int,
+    num_sparse: int,
+    vocab_sizes: Tuple[int, ...],
+    emb_dim: int = DEFAULT_EMBEDDING_DIM,
+    use_layernorm: bool = False,
+    activation: str = "relu",
+    use_final_sigmoid: bool = False,
+) -> FixedPlan:
+    validate_choice(choice, space, num_blocks)
+    dense_w: List[int] = [num_dense]      # virtual-block dense widths
+    sparse_s: List[int] = [num_sparse]    # virtual-block sparse slot counts
+    blocks: List[BlockPlan] = []
+    for i in range(num_blocks):
+        m, mi = choice["macro"][i], choice["micro"][i]
+        dense_idx = tuple(sorted(set(int(j) for j in m["dense_idx"])))
+        sparse_idx = tuple(sorted(set(int(j) for j in m["sparse_idx"])))
+        left_idx = tuple(sorted(set(int(j) for j in m["dense_left_idx"])))
+        right_idx = tuple(sorted(set(int(j) for j in m["dense_right_idx"])))
+        interact = bool(int(mi["dense_sparse_interact"]))
+        bp = BlockPlan(
+            active_nodes=tuple(sorted(int(a) for a in mi["active_nodes"])),
+            dense_dim=int(mi["dense_in_dims"]),
+            sparse_dim=int(mi["sparse_in_dims"]),
+            interact=interact,
+            deep_fm=bool(int(mi["deep_fm"])),
+            dense_idx=dense_idx,
+            sparse_idx=sparse_idx,
+            left_idx=left_idx,
+            right_idx=right_idx,
+            dense_in=sum(dense_w[j] for j in dense_idx),
+            sparse_in=sum(sparse_s[j] for j in sparse_idx),
+            left_in=sum(dense_w[j] for j in left_idx),
+            right_in=sum(dense_w[j] for j in right_idx),
+            out_slots=int(mi["sparse_in_dims"])
+            + (DS_INTERACT_NUM_SPLITS if interact else 0),
+        )
+        blocks.append(bp)
+        dense_w.append(bp.dense_dim)
+        sparse_s.append(bp.out_slots)
+    head_width = dense_w[-1] + sparse_s[-1] * emb_dim  # last_n_blocks_out == 1
+    return FixedPlan(
+        space=space,
+        num_blocks=num_blocks,
+        num_dense=num_dense,
+        num_sparse=num_sparse,
+        vocab_sizes=tuple(int(v) for v in vocab_sizes),
+        emb_dim=emb_dim,
+        use_layernorm=use_layernorm,
+        activation=activation,
+        blocks=tuple(blocks),
+        head_width=head_width,
+        use_final_sigmoid=use_final_sigmoid,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def _fixed_node_init(key, plan: FixedPlan, bp: BlockPlan, name: str) -> Dict:
+    uln = plan.use_layernorm
+    if name == "linear-2d":
+        return elastic_linear_init(key, bp.dense_in, bp.dense_dim, uln)
+    if name in ("zeros-2d", "zeros-3d"):
+        return {}
+    if name == "sum":
+        return sum_init(key, bp.left_in, bp.right_in, bp.dense_dim, uln)
+    if name == "sigmoid-gating":
+        return sigmoid_gating_init(key, bp.left_in, bp.right_in, bp.dense_dim, uln)
+    if name == "dot-product":
+        return dot_product_init(
+            key, bp.dense_in, bp.sparse_in, bp.dense_dim, plan.emb_dim, uln
+        )
+    if name == "transformer":
+        return transformer_init(key, bp.sparse_in, bp.sparse_dim, plan.emb_dim, uln)
+    if name == "linear-3d":
+        return elastic_linear3d_init(key, bp.sparse_in, bp.sparse_dim, uln)
+    raise NotImplementedError(name)
+
+
+def fixed_init(key, plan: FixedPlan) -> Dict:
+    keys = jax.random.split(key, plan.num_blocks + 2)
+    blocks = []
+    for i, bp in enumerate(plan.blocks):
+        bkeys = jax.random.split(keys[1 + i], len(bp.active_nodes) + 2)
+        nodes = {
+            str(k): _fixed_node_init(bkeys[n], plan, bp, plan.space.node_names[k])
+            for n, k in enumerate(bp.active_nodes)
+        }
+        p: Dict[str, Any] = {"nodes": nodes}
+        expanded = DS_INTERACT_NUM_SPLITS * plan.emb_dim
+        if bp.interact and bp.dense_dim != expanded:   # ref: supernet.py:1219-1226
+            p["ds_proj"] = linear_init(
+                bkeys[-2], bp.dense_dim, expanded, use_bias=not plan.use_layernorm
+            )
+            if plan.use_layernorm:
+                p["ds_ln"] = ln_init(expanded)
+        if bp.deep_fm:                                  # ref: supernet.py:998-1003
+            p["deep_fm"] = fm3d_init(
+                bkeys[-1], plan.emb_dim, bp.dense_dim, plan.use_layernorm
+            )
+        blocks.append(p)
+    return {
+        "embedding": embedding_stem_init(keys[0], plan.vocab_sizes, plan.emb_dim),
+        "blocks": blocks,
+        "final": linear_init(keys[-1], plan.head_width, 1, use_bias=True),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Apply
+# ---------------------------------------------------------------------------
+
+
+def _gather_concat(tensors: List[jnp.ndarray], idx: Tuple[int, ...], axis: int) -> jnp.ndarray:
+    parts = [tensors[j] for j in idx]
+    return jnp.concatenate(parts, axis=axis) if len(parts) > 1 else parts[0]
+
+
+def fixed_apply(
+    plan: FixedPlan,
+    params: Dict,
+    dense_x: jnp.ndarray,
+    cat_x: jnp.ndarray,
+    *,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Forward pass of the fixed subnet -> logits [B, 1]."""
+    offsets = table_offsets(plan.vocab_sizes)
+    sparse_stem = embedding_stem_apply(params["embedding"], cat_x, offsets)
+    dense_list = [dense_x.astype(compute_dtype)]
+    sparse_list = [sparse_stem.astype(compute_dtype)]
+
+    for i, bp in enumerate(plan.blocks):
+        bparams = params["blocks"][i]
+        dense_in = _gather_concat(dense_list, bp.dense_idx, axis=-1)
+        sparse_in = _gather_concat(sparse_list, bp.sparse_idx, axis=1)
+        left_in = _gather_concat(dense_list, bp.left_idx, axis=-1)
+        right_in = _gather_concat(dense_list, bp.right_idx, axis=-1)
+
+        dense_outs, sparse_outs = [], []
+        for k in bp.active_nodes:
+            name = plan.space.node_names[k]
+            np_ = bparams["nodes"][str(k)]
+            if name == "linear-2d":
+                dense_outs.append(
+                    elastic_linear_apply(np_, dense_in, plan.activation, None)
+                )
+            elif name == "zeros-2d":
+                dense_outs.append(
+                    jnp.zeros((dense_in.shape[0], bp.dense_dim), compute_dtype)
+                )
+            elif name == "sum":
+                dense_outs.append(sum_apply(np_, left_in, right_in, None))
+            elif name == "sigmoid-gating":
+                dense_outs.append(sigmoid_gating_apply(np_, left_in, right_in, None))
+            elif name == "dot-product":
+                dense_outs.append(dot_product_apply(np_, dense_in, sparse_in, None))
+            elif name == "transformer":
+                sparse_outs.append(transformer_apply(np_, sparse_in, None))
+            elif name == "linear-3d":
+                sparse_outs.append(
+                    elastic_linear3d_apply(np_, sparse_in, plan.activation, None)
+                )
+            elif name == "zeros-3d":
+                sparse_outs.append(
+                    jnp.zeros(
+                        (sparse_in.shape[0], bp.sparse_dim, plan.emb_dim), compute_dtype
+                    )
+                )
+            else:
+                raise NotImplementedError(name)
+
+        dense_out = sum(dense_outs)
+        sparse_out = sum(sparse_outs)
+
+        # ds-interact projection from PRE-deep-fm dense output (ref ordering).
+        if bp.interact:
+            if "ds_proj" in bparams:
+                proj = linear_apply(bparams["ds_proj"], dense_out)
+                if "ds_ln" in bparams:
+                    proj = ln_apply(bparams["ds_ln"], proj)
+            else:
+                proj = dense_out
+            proj = proj.reshape(proj.shape[0], DS_INTERACT_NUM_SPLITS, plan.emb_dim)
+
+        if bp.deep_fm:
+            dense_out = dense_out + fm3d_apply(bparams["deep_fm"], sparse_out, None)
+
+        if bp.interact:
+            sparse_out = jnp.concatenate([sparse_out, proj], axis=1)
+
+        dense_list.append(dense_out)
+        sparse_list.append(sparse_out)
+
+    flat_sparse = sparse_list[-1].reshape(sparse_list[-1].shape[0], -1)
+    feats = jnp.concatenate([dense_list[-1], flat_sparse], axis=-1)
+    out = linear_apply(params["final"], feats).astype(jnp.float32)
+    if plan.use_final_sigmoid:
+        out = jax.nn.sigmoid(out)
+    return out

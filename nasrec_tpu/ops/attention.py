@@ -1,0 +1,107 @@
+"""Transformer node over the sparse-slot axis.
+
+Reference semantics (ref: nasrec/supernet/modules.py:599-688):
+  1. slot projection S_in -> out_slots (transpose-linear) + optional LN over the
+     projected slot axis
+  2. slot mask (supernet mode)
+  3. 8-head self-attention (E=16 -> head_dim=2), residual, LN with weight
+     initialised to LN_INIT=0.17 (ref :598, :637)
+  4. two FC layers E->E with ReLU (hard-coded relu, ref :671), residual,
+     LN(0.17)
+  5. slot mask again
+
+The two residual LayerNorms exist regardless of `use_layernorm`; only the
+projection LN is conditional (ref :622, :625, :630).
+
+At slot counts <= ~530 and E=16 this attention is tiny; a single fused XLA
+einsum chain is already bandwidth-optimal on TPU — no flash-attention needed
+(see SURVEY.md §5.7).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from nasrec_tpu.config import LN_INIT, NUM_MHA_HEADS
+from nasrec_tpu.ops.common import (
+    Params,
+    _xavier_uniform,
+    apply_mask,
+    linear_apply,
+    linear_init,
+    ln_apply,
+    ln_init,
+)
+
+
+def transformer_init(
+    key,
+    in_slots: int,
+    out_slots: int,
+    emb_dim: int,
+    use_layernorm: bool,
+    num_heads: int = NUM_MHA_HEADS,
+) -> Params:
+    keys = jax.random.split(key, 5)
+    p: Params = {
+        "proj": linear_init(keys[0], in_slots, out_slots, use_bias=not use_layernorm),
+        # Combined qkv projection, matching torch MultiheadAttention's
+        # in_proj_weight fan-in/fan-out (E, 3E) for init statistics.
+        "mha": {
+            "w_in": _xavier_uniform(keys[1], emb_dim, 3 * emb_dim, (emb_dim, 3 * emb_dim)),
+            "b_in": jnp.zeros((3 * emb_dim,), jnp.float32),
+            "w_out": _xavier_uniform(keys[2], emb_dim, emb_dim, (emb_dim, emb_dim)),
+            "b_out": jnp.zeros((emb_dim,), jnp.float32),
+        },
+        "attn_ln": ln_init(emb_dim, weight_init=LN_INIT),
+        "fc1": linear_init(keys[3], emb_dim, emb_dim, use_bias=True),
+        "fc2": linear_init(keys[4], emb_dim, emb_dim, use_bias=True),
+        "fc_ln": ln_init(emb_dim, weight_init=LN_INIT),
+    }
+    if use_layernorm:
+        p["proj_ln"] = ln_init(out_slots)
+    return p
+
+
+def _mha(p: Params, x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """Standard multi-head self-attention; softmax in f32."""
+    b, s, e = x.shape
+    hd = e // num_heads
+    qkv = jnp.dot(x, p["w_in"].astype(x.dtype)) + p["b_in"].astype(x.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):
+        return t.reshape(b, s, num_heads, hd).transpose(0, 2, 1, 3)  # [B,H,S,hd]
+
+    q, k, v = heads(q), heads(k), heads(v)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(jnp.asarray(hd, x.dtype))
+    attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+    out = out.transpose(0, 2, 1, 3).reshape(b, s, e)
+    return jnp.dot(out, p["w_out"].astype(x.dtype)) + p["b_out"].astype(x.dtype)
+
+
+def transformer_apply(
+    p: Params,
+    sparse: jnp.ndarray,  # [B, S_in, E]
+    slot_mask: Optional[jnp.ndarray] = None,
+    num_heads: int = NUM_MHA_HEADS,
+) -> jnp.ndarray:
+    xt = jnp.swapaxes(sparse, 1, 2)          # [B, E, S_in]
+    xt = linear_apply(p["proj"], xt)          # [B, E, out_slots]
+    if "proj_ln" in p:
+        xt = ln_apply(p["proj_ln"], xt)
+    x = jnp.swapaxes(xt, 1, 2)                # [B, out_slots, E]
+    x = apply_mask(x, slot_mask, axis=1)      # mask slot axis (ref :653-662)
+
+    attn = _mha(p["mha"], x, num_heads)
+    x = ln_apply(p["attn_ln"], attn + x)      # residual + LN(0.17) (ref :666-668)
+
+    h = jax.nn.relu(linear_apply(p["fc1"], x))  # hard-coded relu (ref :671)
+    h = linear_apply(p["fc2"], h)
+    x = ln_apply(p["fc_ln"], x + h)           # residual + LN(0.17) (ref :673-675)
+
+    return apply_mask(x, slot_mask, axis=1)   # final slot mask (ref :678-686)
