@@ -1,0 +1,245 @@
+"""Training-layer tests: optimizer parity vs torch, schedules, metrics, and
+an end-to-end convergence test on synthetic data."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nasrec_tpu.config import OPS_CONFIG_LIB
+from nasrec_tpu.choices import choice_to_masks, full_path_choice
+from nasrec_tpu.models import (
+    SuperNetConfig,
+    build_fixed_plan,
+    fixed_apply,
+    fixed_init,
+    supernet_apply,
+    supernet_init,
+)
+from nasrec_tpu.sampling import ChoiceSampler
+from nasrec_tpu.data.synthetic import SyntheticSpec, synthetic_arrays, synthetic_batches
+from nasrec_tpu.train import (
+    TrainState,
+    adagrad_init,
+    adagrad_update,
+    auc_exact,
+    bce_with_logits,
+    clip_by_global_norm,
+    constant_with_warmup,
+    cosine_warmup_restarts,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+    evaluate_one_epoch,
+    train_and_test_one_epoch,
+)
+from nasrec_tpu.train.loop import freeze_mask, init_train_state
+from nasrec_tpu.train.optim import l2_penalty
+
+
+def test_adagrad_matches_torch(rng):
+    torch = pytest.importorskip("torch")
+    w0 = rng.randn(4, 3).astype(np.float32)
+    grads = [rng.randn(4, 3).astype(np.float32) for _ in range(5)]
+
+    tw = torch.nn.Parameter(torch.tensor(w0.copy()))
+    opt = torch.optim.Adagrad([tw], lr=0.1, eps=1e-2)
+    for g in grads:
+        opt.zero_grad()
+        tw.grad = torch.tensor(g)
+        opt.step()
+
+    params = {"w": jnp.asarray(w0)}
+    acc = adagrad_init(params)
+    for g in grads:
+        params, acc = adagrad_update(params, acc, {"w": jnp.asarray(g)}, lr=0.1, eps=1e-2)
+    np.testing.assert_allclose(np.asarray(params["w"]), tw.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_cosine_schedule_matches_torch_scheduler():
+    torch = pytest.importorskip("torch")
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    # Independent re-derivation check: compare against an analytic expectation
+    # for warmup and cosine segments.
+    total, warm, max_lr, min_lr = 100, 10, 0.16, 1e-8
+    lrs = [float(cosine_warmup_restarts(t, total, warm, max_lr, min_lr)) for t in range(100)]
+    assert lrs[0] == pytest.approx(min_lr)
+    assert lrs[5] == pytest.approx(min_lr + (max_lr - min_lr) * 0.5, rel=1e-6)
+    assert lrs[10] == pytest.approx(max_lr, rel=1e-6)  # cos(0)
+    import math
+
+    t = 50
+    want = min_lr + (max_lr - min_lr) * (1 + math.cos(math.pi * (t - warm) / (total - warm))) / 2
+    assert lrs[50] == pytest.approx(want, rel=1e-6)
+
+
+def test_constant_warmup():
+    lrs = [float(constant_with_warmup(t, 10, 0.1)) for t in range(12)]
+    assert lrs[0] == pytest.approx(0.01)
+    assert lrs[9] == pytest.approx(0.1)
+    assert lrs[11] == pytest.approx(0.1)
+
+
+def test_clip_by_global_norm_matches_torch(rng):
+    torch = pytest.importorskip("torch")
+    gs = [rng.randn(8, 8).astype(np.float32) * 10 for _ in range(3)]
+    ps = [torch.nn.Parameter(torch.zeros(8, 8)) for _ in range(3)]
+    for p, g in zip(ps, gs):
+        p.grad = torch.tensor(g.copy())
+    torch.nn.utils.clip_grad_norm_(ps, 5.0)
+    got = clip_by_global_norm([jnp.asarray(g) for g in gs], 5.0)
+    for a, p in zip(got, ps):
+        np.testing.assert_allclose(np.asarray(a), p.grad.numpy(), rtol=1e-4, atol=1e-6)
+
+
+def test_bce_matches_torch(rng):
+    torch = pytest.importorskip("torch")
+    logits = rng.randn(32, 1).astype(np.float32)
+    y = rng.randint(0, 2, (32, 1)).astype(np.float32)
+    want = torch.nn.BCEWithLogitsLoss()(torch.tensor(logits), torch.tensor(y)).item()
+    got = float(bce_with_logits(jnp.asarray(logits), jnp.asarray(y)))
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_auc_matches_sklearn(rng):
+    sklearn = pytest.importorskip("sklearn.metrics")
+    y = rng.randint(0, 2, 500).astype(np.float32)
+    # include ties
+    s = np.round(rng.random_sample(500), 2)
+    want = sklearn.roc_auc_score(y, s)
+    assert auc_exact(y, s) == pytest.approx(want, abs=1e-10)
+
+
+def test_l2_penalty_skips_1d_and_excluded():
+    params = {
+        "embedding": {"table": jnp.ones((4, 2))},
+        "final": {"w": jnp.ones((3, 1)), "b": jnp.ones((1,))},
+    }
+    # all 2-D params: 8 + 3 = 11
+    assert float(l2_penalty(params, 1.0)) == pytest.approx(11.0)
+    assert float(l2_penalty(params, 1.0, exclude_path="embedding")) == pytest.approx(3.0)
+    assert float(l2_penalty(params, 0.0)) == 0.0
+
+
+def test_freeze_mask_final_only():
+    params = {
+        "embedding": {"table": jnp.ones((4, 2))},
+        "blocks": [{"nodes": [{"linear": {"w": jnp.ones((2, 2))}}]}],
+        "final": {"w": jnp.ones((3, 1)), "b": jnp.ones((1,))},
+    }
+    m = freeze_mask(params, "final-only")
+    assert float(m["final"]["w"].sum()) == 3.0
+    assert float(m["embedding"]["table"].sum()) == 0.0
+    assert float(m["blocks"][0]["nodes"][0]["linear"]["w"].sum()) == 0.0
+    m2 = freeze_mask(params, "no-embedding")
+    assert float(m2["embedding"]["table"].sum()) == 0.0
+    assert float(m2["blocks"][0]["nodes"][0]["linear"]["w"].sum()) == 4.0
+
+
+# ---------------------------------------------------------------------------
+# End-to-end: tiny fixed model converges on synthetic data
+# ---------------------------------------------------------------------------
+
+
+def _tiny_plan():
+    space = OPS_CONFIG_LIB["autoctr"]
+    choice = {
+        "macro": [
+            {"dense_idx": [0], "sparse_idx": [0], "dense_left_idx": [0], "dense_right_idx": [0]},
+            {"dense_idx": [1], "sparse_idx": [0, 1], "dense_left_idx": [1], "dense_right_idx": [0]},
+        ],
+        "micro": [
+            {"active_nodes": [0, 2], "dense_in_dims": 64, "sparse_in_dims": 16,
+             "dense_sparse_interact": 1, "deep_fm": 0},
+            {"active_nodes": [1, 2], "dense_in_dims": 32, "sparse_in_dims": 16,
+             "dense_sparse_interact": 0, "deep_fm": 1},
+        ],
+    }
+    return build_fixed_plan(
+        choice, space, 2, 13, 26, tuple([100] * 26), use_layernorm=False
+    )
+
+
+def test_fixed_training_converges_on_synthetic():
+    spec = SyntheticSpec()
+    plan = _tiny_plan()
+    params = fixed_init(jax.random.PRNGKey(0), plan)
+    opt = make_optimizer("adagrad")
+    state = init_train_state(params, opt)
+    step = make_train_step(
+        lambda p, d, c: fixed_apply(plan, p, d, c),
+        opt,
+        lambda s: jnp.asarray(0.05),
+        grad_clip=5.0,
+    )
+    eval_step = make_eval_step(lambda p, d, c: fixed_apply(plan, p, d, c))
+
+    state, logs, best = train_and_test_one_epoch(
+        step,
+        eval_step,
+        state,
+        synthetic_batches(8192, 128, spec, seed=0, loop=True),
+        lambda: synthetic_batches(2048, 512, spec, seed=1),
+        display_interval=50,
+        test_interval=200,
+        max_train_steps=400,
+        log_fn=lambda s: None,
+    )
+    assert logs["test_AUROC"][-1] > 0.75, logs["test_AUROC"]
+    assert logs["test_loss"][-1] < logs["test_loss"][0]
+    assert best is not None
+
+
+def test_supernet_training_smoke():
+    space = OPS_CONFIG_LIB["xlarge"]
+    cfg = SuperNetConfig(
+        space=space, num_blocks=2, num_dense=13, num_sparse=26,
+        vocab_sizes=tuple([100] * 26), use_layernorm=True,
+    )
+    params = supernet_init(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer("adagrad")
+    state = init_train_state(params, opt)
+    step = make_train_step(
+        lambda p, d, c, m: supernet_apply(cfg, p, d, c, m),
+        opt,
+        lambda s: jnp.asarray(0.05),
+        has_masks=True,
+    )
+    sampler = ChoiceSampler(space, 2, strategy="default", seed=0)
+    spec = SyntheticSpec()
+    losses = []
+    for i, (d, c, y) in enumerate(synthetic_batches(4096, 128, spec, loop=True)):
+        state, metrics = step(state, d, c, y, choice_to_masks(sampler(), space, 2))
+        if i % 20 == 0:
+            losses.append(float(metrics["loss"]))
+        if i >= 100:
+            break
+    # Per-step losses are noisy (a different random subnet trains each step);
+    # assert stability, not monotonicity.
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < 3.0
+
+
+def test_finetune_final_only_keeps_other_params_fixed():
+    plan = _tiny_plan()
+    params = fixed_init(jax.random.PRNGKey(0), plan)
+    opt = make_optimizer("adagrad")
+    state = init_train_state(params, opt)
+    mask = freeze_mask(params, "final-only")
+    step = make_train_step(
+        lambda p, d, c: fixed_apply(plan, p, d, c),
+        opt,
+        lambda s: jnp.asarray(0.1),
+        trainable=mask,
+        donate=False,
+    )
+    d, c, y = next(synthetic_batches(256, 256))
+    before = jax.device_get(state.params)
+    state, _ = step(state, d, c, y)
+    after = jax.device_get(state.params)
+    np.testing.assert_array_equal(
+        before["embedding"]["table"], after["embedding"]["table"]
+    )
+    assert not np.array_equal(before["final"]["w"], after["final"]["w"])
