@@ -1,0 +1,92 @@
+"""Benchmark: fixed-subnet training throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "examples/s/chip", "vs_baseline": N}
+
+Baseline: the reference publishes no examples/s; the only comparable number
+is the EA whole-network fine-tune step time of 0.21-0.23 s per 512-example
+batch (ref: nasrec/eval_subnet_from_supernet.py:114, Tesla M40), i.e.
+~2327 examples/s.  vs_baseline is measured against that.
+
+Workload: the flagship Criteo best fixed subnet (xlarge space, search-capped
+vocab ~2.6M rows x 16), full training step (fwd + bwd + adagrad + cosine LR +
+global-norm clip) at batch 4096, device-resident synthetic batches.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from nasrec_tpu.config import DATASETS, OPS_CONFIG_LIB, SEARCH_MAX_NUM_EMBEDDINGS
+    from nasrec_tpu.configs import get_best_arch
+    from nasrec_tpu.models import build_fixed_plan, fixed_apply, fixed_init
+    from nasrec_tpu.train import make_optimizer, make_train_step
+    from nasrec_tpu.train.loop import init_train_state
+    from nasrec_tpu.train.optim import make_lr_schedule
+
+    batch = 4096
+    warmup_steps, bench_steps = 10, 50
+
+    spec = DATASETS["criteo-kaggle"]
+    vocab = spec.vocab_sizes(SEARCH_MAX_NUM_EMBEDDINGS)
+    choice = get_best_arch("criteo-kaggle", "xlarge")
+    plan = build_fixed_plan(
+        choice, OPS_CONFIG_LIB["xlarge"], 7, spec.num_dense, spec.num_sparse,
+        vocab, use_layernorm=False,
+    )
+    params = fixed_init(jax.random.PRNGKey(0), plan)
+    opt = make_optimizer("adagrad")
+    state = init_train_state(params, opt)
+    sched = make_lr_schedule("cosine", 0.16, 10_000, 1_000)
+    step = make_train_step(
+        lambda p, d, c: fixed_apply(plan, p, d, c), opt, sched, grad_clip=5.0
+    )
+
+    rng = np.random.RandomState(0)
+    n_slices = 8
+    batches = [
+        (
+            jnp.asarray(rng.randn(batch, spec.num_dense).astype(np.float32)),
+            jnp.asarray(
+                rng.randint(0, min(vocab), size=(batch, spec.num_sparse)).astype(np.int32)
+            ),
+            jnp.asarray(rng.randint(0, 2, size=(batch, 1)).astype(np.float32)),
+        )
+        for _ in range(n_slices)
+    ]
+
+    for i in range(warmup_steps):
+        d, c, y = batches[i % n_slices]
+        state, metrics = step(state, d, c, y)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(bench_steps):
+        d, c, y = batches[i % n_slices]
+        state, metrics = step(state, d, c, y)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    examples_per_sec = batch * bench_steps / dt
+    baseline = 512 / 0.22  # ~2327 ex/s, ref: eval_subnet_from_supernet.py:114
+    print(
+        json.dumps(
+            {
+                "metric": "examples/s/chip (Criteo xlarge best fixed-subnet train step)",
+                "value": round(examples_per_sec, 1),
+                "unit": "examples/s/chip",
+                "vs_baseline": round(examples_per_sec / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -214,10 +214,12 @@ def fixed_apply(
     cat_x: jnp.ndarray,
     *,
     compute_dtype=jnp.float32,
+    stem_lookup=None,  # override for sharded tables (nasrec_tpu/parallel)
 ) -> jnp.ndarray:
     """Forward pass of the fixed subnet -> logits [B, 1]."""
     offsets = table_offsets(plan.vocab_sizes)
-    sparse_stem = embedding_stem_apply(params["embedding"], cat_x, offsets)
+    lookup = stem_lookup if stem_lookup is not None else embedding_stem_apply
+    sparse_stem = lookup(params["embedding"], cat_x, offsets)
     dense_list = [dense_x.astype(compute_dtype)]
     sparse_list = [sparse_stem.astype(compute_dtype)]
 

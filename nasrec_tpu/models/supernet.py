@@ -245,10 +245,12 @@ def supernet_apply(
     masks: ChoiceMasks,
     *,
     compute_dtype=jnp.float32,
+    stem_lookup=None,  # override for sharded tables (nasrec_tpu/parallel)
 ) -> jnp.ndarray:
     """Forward pass -> logits [B, 1].  One compiled graph for every subnet."""
     offsets = table_offsets(cfg.vocab_sizes)
-    sparse_stem = embedding_stem_apply(params["embedding"], cat_x, offsets)
+    lookup = stem_lookup if stem_lookup is not None else embedding_stem_apply
+    sparse_stem = lookup(params["embedding"], cat_x, offsets)
     dense_list = [dense_x.astype(compute_dtype)]
     sparse_list = [sparse_stem.astype(compute_dtype)]
 

@@ -1,0 +1,10 @@
+from nasrec_tpu.parallel.mesh import make_mesh
+from nasrec_tpu.parallel.embedding import (
+    pad_table_for_sharding,
+    make_sharded_stem_lookup,
+)
+from nasrec_tpu.parallel.train import (
+    param_shardings,
+    make_parallel_train_step,
+    shard_train_state,
+)
