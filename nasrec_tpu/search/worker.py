@@ -1,0 +1,174 @@
+"""Weight-shared candidate evaluation — vectorized on-device.
+
+Reference flow (ref: nasrec/eval_subnet_from_supernet.py:71-207): per
+candidate, rebuild the supernet, pin the choice (fixed-path), freeze
+everything but the final linear, load the trained supernet checkpoint, run a
+short fine-tune (default 500 steps @ lr 0.04, Adagrad eps 1e-2, cosine
+schedule with warmup steps//10, clip 5.0) and a 150-step eval; the reference
+fans candidates out one-per-GPU with torch.multiprocessing
+(ref: nasrec/searcher/searcher.py:126-156).
+
+TPU-native design: a subnet choice is just a `ChoiceMasks` input, and in the
+default final-only fine-tune mode the frozen supernet body is SHARED across
+candidates, so K candidates evaluate as ONE vmapped program on one chip:
+masks and per-candidate final-layer params carry a leading K axis while the
+batch and the body weights are broadcast.  One compiled executable, K
+candidates per data pass — replacing the process-per-GPU fan-out with
+MXU-friendly batching.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterable, List, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nasrec_tpu.choices import Choice, ChoiceMasks, choice_to_masks
+from nasrec_tpu.models import SuperNetConfig, supernet_apply
+from nasrec_tpu.train.metrics import auc_exact, bce_with_logits, binary_accuracy
+from nasrec_tpu.train.optim import clip_by_global_norm, make_lr_schedule
+
+
+def stack_masks(masks: Sequence[ChoiceMasks]) -> ChoiceMasks:
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *masks)
+
+
+def make_candidate_evaluator(
+    cfg: SuperNetConfig,
+    supernet_params: Dict,
+    *,
+    learning_rate: float = 0.04,
+    max_train_steps: int = 500,
+    max_eval_steps: int = 150,
+    lr_schedule: str = "cosine",
+    grad_clip: float = 5.0,
+    adagrad_eps: float = 1e-2,
+) -> Callable:
+    """Build `evaluate(choices, train_iter_fn, test_iter_fn) -> [results]`.
+
+    Final-only fine-tune (the reference's default EA mode): the body of
+    `supernet_params` is frozen and shared; each candidate owns a copy of the
+    final linear and its Adagrad accumulator, all advanced in one vmapped
+    step per batch.
+    """
+    body = {k: v for k, v in supernet_params.items() if k != "final"}
+    final0 = supernet_params["final"]
+    sched = make_lr_schedule(
+        lr_schedule, learning_rate, max_train_steps, max_train_steps // 10
+    )
+
+    def one_candidate_loss(final, masks, dense, cat, y):
+        params = dict(body)
+        params["final"] = final
+        logits = supernet_apply(cfg, params, dense, cat, masks)
+        return bce_with_logits(logits, y)
+
+    def one_candidate_step(final, acc, masks, dense, cat, y, lr):
+        loss, g = jax.value_and_grad(one_candidate_loss)(final, masks, dense, cat, y)
+        g = clip_by_global_norm(g, grad_clip)
+        new_acc = jax.tree_util.tree_map(lambda a, gg: a + jnp.square(gg), acc, g)
+        new_final = jax.tree_util.tree_map(
+            lambda p, a, gg: p - lr * gg / (jnp.sqrt(a) + adagrad_eps),
+            final, new_acc, g,
+        )
+        return new_final, new_acc, loss
+
+    @jax.jit
+    def multi_step(finals, accs, masks_k, step_idx, dense, cat, y):
+        lr = sched(step_idx)
+        return jax.vmap(
+            one_candidate_step, in_axes=(0, 0, 0, None, None, None, None)
+        )(finals, accs, masks_k, dense, cat, y, lr)
+
+    @jax.jit
+    def multi_forward(finals, masks_k, dense, cat):
+        def fwd(final, masks):
+            params = dict(body)
+            params["final"] = final
+            return supernet_apply(cfg, params, dense, cat, masks)
+
+        return jax.vmap(fwd, in_axes=(0, 0))(finals, masks_k)
+
+    def evaluate(
+        choices: Sequence[Choice],
+        train_iter_fn: Callable[[], Iterable],
+        test_iter_fn: Callable[[], Iterable],
+        log_fn: Callable[[str], None] = lambda s: None,
+    ) -> List[Dict]:
+        k = len(choices)
+        masks_k = stack_masks(
+            [choice_to_masks(c, cfg.space, cfg.num_blocks) for c in choices]
+        )
+        finals = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (k,) + x.shape), final0
+        )
+        accs = jax.tree_util.tree_map(jnp.zeros_like, finals)
+
+        # Fine-tune: one shared data stream, K candidates per step.
+        step_idx = 0
+        train_iter = iter(train_iter_fn())
+        while step_idx < max_train_steps:
+            try:
+                dense, cat, y = next(train_iter)
+            except StopIteration:
+                train_iter = iter(train_iter_fn())
+                continue
+            finals, accs, losses = multi_step(
+                finals, accs, masks_k, jnp.asarray(step_idx), dense, cat, y
+            )
+            step_idx += 1
+            if step_idx % 100 == 0:
+                log_fn(f"finetune step {step_idx}: loss {np.asarray(losses).mean():.5f}")
+
+        # Eval: accumulate per-candidate logits over the shared test stream.
+        all_logits, all_labels = [], []
+        for i, (dense, cat, y) in enumerate(test_iter_fn()):
+            if max_eval_steps != -1 and i >= max_eval_steps:
+                break
+            logits = multi_forward(finals, masks_k, dense, cat)  # [K, B, 1]
+            all_logits.append(np.asarray(logits)[..., 0])
+            all_labels.append(np.asarray(y).ravel())
+        logits = np.concatenate(all_logits, axis=1)  # [K, N]
+        labels = np.concatenate(all_labels)
+        probs = 1.0 / (1.0 + np.exp(-logits))
+        eps = 1e-12
+
+        results = []
+        for i, choice in enumerate(choices):
+            p = probs[i]
+            logloss = float(
+                -(labels * np.log(p + eps) + (1 - labels) * np.log(1 - p + eps)).mean()
+            )
+            if not np.isfinite(logloss):
+                # Divergence sentinel (ref: train_utils.py:294-301)
+                results.append(
+                    {"choice": choice, "test_acc": -1, "test_auroc": -1,
+                     "test_loss": 999.99}
+                )
+                continue
+            results.append(
+                {
+                    "choice": choice,
+                    "test_acc": binary_accuracy(p, labels),
+                    "test_auroc": auc_exact(labels, p),
+                    "test_loss": logloss,
+                }
+            )
+        return results
+
+    return evaluate
+
+
+def finetune_and_eval_candidates(
+    cfg: SuperNetConfig,
+    supernet_params: Dict,
+    choices: Sequence[Choice],
+    train_iter_fn,
+    test_iter_fn,
+    **kwargs,
+) -> List[Dict]:
+    """Convenience wrapper: build an evaluator and run it once."""
+    evaluator = make_candidate_evaluator(cfg, supernet_params, **kwargs)
+    return evaluator(choices, train_iter_fn, test_iter_fn)
