@@ -1,0 +1,78 @@
+"""Shared argparse plumbing for the four CLIs (flag parity with the
+reference entry points, ref: nasrec/main_train.py:289-418 etc.)."""
+
+from __future__ import annotations
+
+import argparse
+
+from nasrec_tpu.config import SEARCH_MAX_NUM_EMBEDDINGS
+from nasrec_tpu.workloads import DataOptions, TrainOptions
+
+
+def add_data_args(p: argparse.ArgumentParser, train_bs=256, test_bs=16368):
+    p.add_argument("--dataset", default="criteo-kaggle",
+                   choices=["criteo-kaggle", "avazu", "kdd"])
+    p.add_argument("--root_dir", default="")
+    p.add_argument("--data_source", default="tsv", choices=["tsv", "synthetic"],
+                   help="'synthetic' runs without real data (smoke tests/CI)")
+    p.add_argument("--train_split", default="trainval", choices=["train", "trainval"])
+    p.add_argument("--validate_split", default="test", choices=["val", "test"])
+    p.add_argument("--train_batch_size", type=int, default=train_bs)
+    p.add_argument("--test_batch_size", type=int, default=test_bs)
+    p.add_argument("--cap_vocab", type=int, default=0,
+                   help="1: cap embedding tables at 0.5M rows (search mode)")
+
+
+def add_train_args(p: argparse.ArgumentParser, lr=0.16):
+    p.add_argument("--learning_rate", type=float, default=lr)
+    p.add_argument("--wd", type=float, default=0.0, help="L2 weight decay")
+    p.add_argument("--optimizer", default="adagrad",
+                   choices=["adagrad", "adam", "sgd"])
+    p.add_argument("--lr_schedule", default="cosine",
+                   choices=["cosine", "constant", "constant-no-warmup"])
+    p.add_argument("--num_epochs", type=int, default=1)
+    p.add_argument("--train_limit", type=int, default=-1)
+    p.add_argument("--test_limit", type=int, default=-1)
+    p.add_argument("--display_interval", type=int, default=100)
+    p.add_argument("--test_interval", type=int, default=2000)
+    p.add_argument("--max_train_steps", type=int, default=-1)
+    p.add_argument("--max_eval_steps", type=int, default=-1)
+    p.add_argument("--test_only_at_last_step", type=int, default=0)
+    p.add_argument("--activation", default="relu", choices=["relu", "silu"])
+    p.add_argument("--no_reg_param_name", default=None)
+    p.add_argument("--loss_function", default="bce", choices=["bce"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--logging_dir", default=None)
+
+
+def data_options(args) -> DataOptions:
+    return DataOptions(
+        dataset=args.dataset,
+        root_dir=args.root_dir,
+        data_source=args.data_source,
+        train_split=args.train_split,
+        validate_split=args.validate_split,
+        train_batch_size=args.train_batch_size,
+        test_batch_size=args.test_batch_size,
+        vocab_cap=SEARCH_MAX_NUM_EMBEDDINGS if args.cap_vocab else None,
+    )
+
+
+def train_options(args) -> TrainOptions:
+    return TrainOptions(
+        learning_rate=args.learning_rate,
+        wd=args.wd,
+        optimizer=args.optimizer,
+        lr_schedule=args.lr_schedule,
+        num_epochs=args.num_epochs,
+        train_limit=args.train_limit,
+        display_interval=args.display_interval,
+        test_interval=args.test_interval,
+        max_train_steps=args.max_train_steps,
+        max_eval_steps=args.max_eval_steps,
+        test_only_at_last_step=args.test_only_at_last_step == 1,
+        no_reg_param_name=args.no_reg_param_name,
+        activation=args.activation,
+        seed=args.seed,
+        logging_dir=args.logging_dir,
+    )

@@ -1,0 +1,65 @@
+"""EA / random search over a trained supernet (ref: nasrec/eval_subnet_from_supernet.py).
+
+Canonical EA hyperparameters (ref: scripts/run_ea/criteo_run_ea_from_supernet_xlarge.sh):
+  python -m nasrec_tpu.cli.eval_subnet_from_supernet \
+      --root_dir ./data/criteo_kaggle_autoctr --ckpt_path .../supernet_checkpoint.pkl \
+      --method regularized-ea --n_generations 240 --n_childs 8 \
+      --init_population 128 --sample_size 64 --ea_top_k 2 \
+      --learning_rate 0.04 --max_train_steps 500 --max_eval_steps 150 \
+      --train_batch_size 512 --test_batch_size 8192 --use_layernorm 1 \
+      --config xlarge --cap_vocab 1 --logging_dir ./experiments/criteo_ea
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from nasrec_tpu.cli.common import add_data_args, data_options
+from nasrec_tpu.workloads import DataOptions, SearchOptions, search_from_supernet
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    add_data_args(p, train_bs=512, test_bs=8192)
+    p.add_argument("--method", default="regularized-ea",
+                   choices=["regularized-ea", "random"])
+    p.add_argument("--config", default="xlarge",
+                   choices=["xlarge", "xlarge-zeros", "autoctr"])
+    p.add_argument("--num_blocks", type=int, default=7)
+    p.add_argument("--use_layernorm", type=int, default=1)
+    p.add_argument("--ckpt_path", default=None, help="trained supernet checkpoint")
+    p.add_argument("--learning_rate", type=float, default=0.04)
+    p.add_argument("--max_train_steps", type=int, default=500)
+    p.add_argument("--max_eval_steps", type=int, default=150)
+    p.add_argument("--n_generations", type=int, default=240)
+    p.add_argument("--n_childs", type=int, default=8)
+    p.add_argument("--init_population", type=int, default=128)
+    p.add_argument("--sample_size", type=int, default=64)
+    p.add_argument("--ea_top_k", type=int, default=2)
+    p.add_argument("--budget", type=int, default=200, help="random-search budget")
+    p.add_argument("--criterion", default="test_loss",
+                   choices=["test_loss", "test_acc", "test_auroc",
+                            "test_loss_penalty_lat"])
+    p.add_argument("--group_size", type=int, default=8,
+                   help="candidates per vmapped on-device evaluation")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--logging_dir", default=None)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    so = SearchOptions(
+        method=args.method, config=args.config, num_blocks=args.num_blocks,
+        use_layernorm=args.use_layernorm == 1, ckpt_path=args.ckpt_path,
+        learning_rate=args.learning_rate, max_train_steps=args.max_train_steps,
+        max_eval_steps=args.max_eval_steps, n_generations=args.n_generations,
+        n_childs=args.n_childs, init_population=args.init_population,
+        sample_size=args.sample_size, ea_top_k=args.ea_top_k, budget=args.budget,
+        criterion=args.criterion, group_size=args.group_size, seed=args.seed,
+    )
+    return search_from_supernet(so, data_options(args), logging_dir=args.logging_dir)
+
+
+if __name__ == "__main__":
+    main()

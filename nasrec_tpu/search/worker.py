@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from nasrec_tpu.choices import Choice, ChoiceMasks, choice_to_masks
 from nasrec_tpu.models import SuperNetConfig, supernet_apply
-from nasrec_tpu.train.metrics import auc_exact, bce_with_logits, binary_accuracy
+from nasrec_tpu.train.metrics import auc_exact, bce_with_logits, binary_accuracy, stable_sigmoid
 from nasrec_tpu.train.optim import clip_by_global_norm, make_lr_schedule
 
 
@@ -132,7 +132,7 @@ def make_candidate_evaluator(
             all_labels.append(np.asarray(y).ravel())
         logits = np.concatenate(all_logits, axis=1)  # [K, N]
         labels = np.concatenate(all_labels)
-        probs = 1.0 / (1.0 + np.exp(-logits))
+        probs = stable_sigmoid(logits)
         eps = 1e-12
 
         results = []

@@ -23,7 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from nasrec_tpu.train.metrics import auc_exact, bce_with_logits, binary_accuracy
+from nasrec_tpu.train.metrics import auc_exact, bce_with_logits, binary_accuracy, stable_sigmoid
 from nasrec_tpu.train.optim import (
     Optimizer,
     clip_by_global_norm,
@@ -160,7 +160,7 @@ def evaluate_one_epoch(
             print(f"eval: {i + 1} batches")
     logits = np.concatenate(all_logits)
     labels = np.concatenate(all_labels)
-    probs = 1.0 / (1.0 + np.exp(-logits))
+    probs = stable_sigmoid(logits)
     # Mean BCE over all examples (the reference computes it over the
     # concatenated tensor, i.e. example-weighted, ref :174-177).
     eps = 1e-12
@@ -223,7 +223,7 @@ def train_and_test_one_epoch(
                 return state, logs, best_params
             logits = np.asarray(metrics["logits"]).ravel()
             labels = np.asarray(y).ravel()
-            probs = 1.0 / (1.0 + np.exp(-logits))
+            probs = stable_sigmoid(logits)
             try:
                 train_auroc = auc_exact(labels, probs)
             except Exception:

@@ -12,6 +12,16 @@ import numpy as np
 import jax.numpy as jnp
 
 
+def stable_sigmoid(x: np.ndarray) -> np.ndarray:
+    """Overflow-free sigmoid on the host."""
+    out = np.empty_like(x, dtype=np.float64)
+    pos = x >= 0
+    out[pos] = 1.0 / (1.0 + np.exp(-x[pos]))
+    ex = np.exp(x[~pos])
+    out[~pos] = ex / (1.0 + ex)
+    return out
+
+
 def bce_with_logits(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     """Mean binary cross-entropy on logits (torch BCEWithLogitsLoss parity):
     max(x,0) - x*y + log(1 + exp(-|x|))."""

@@ -1,0 +1,460 @@
+"""The four NASRec workloads as library functions.
+
+Mirrors the reference entry points (SURVEY.md §3):
+  1. train_fixed_subnet      <- nasrec/main_train.py         (--net supernet-config)
+  2. train_supernet          <- nasrec/train_supernet.py
+  3. search_from_supernet    <- nasrec/eval_subnet_from_supernet.py
+  4. eval_subnets_from_scratch <- nasrec/eval_subnet_from_scratch.py
+
+Each function takes a plain options dataclass so the argparse CLIs in
+nasrec_tpu/cli/ stay thin and the flows stay unit-testable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import pickle
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nasrec_tpu.config import DATASETS, OPS_CONFIG_LIB, SEARCH_MAX_NUM_EMBEDDINGS
+from nasrec_tpu.choices import Choice, choice_to_masks, full_path_choice, load_choice_file
+from nasrec_tpu.models import (
+    SuperNetConfig,
+    build_fixed_plan,
+    fixed_apply,
+    fixed_init,
+    supernet_apply,
+    supernet_init,
+)
+from nasrec_tpu.sampling import ChoiceSampler
+from nasrec_tpu.search import SearchConfig, Searcher, Tokenizer, make_candidate_evaluator
+from nasrec_tpu.train import (
+    evaluate_one_epoch,
+    load_checkpoint,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+    save_checkpoint,
+    train_and_test_one_epoch,
+)
+from nasrec_tpu.train.loop import freeze_mask, init_train_state
+from nasrec_tpu.train.optim import make_lr_schedule
+from nasrec_tpu.data.pipeline import make_dataset_iterators
+from nasrec_tpu.data.synthetic import SyntheticSpec, synthetic_batches
+
+
+@dataclasses.dataclass
+class DataOptions:
+    dataset: str = "criteo-kaggle"
+    root_dir: str = ""
+    data_source: str = "tsv"          # tsv | synthetic
+    train_split: str = "trainval"
+    validate_split: str = "test"
+    train_batch_size: int = 256
+    test_batch_size: int = 16368
+    vocab_cap: Optional[int] = None   # SEARCH_MAX_NUM_EMBEDDINGS during search
+    synthetic_train_examples: int = 65536
+    synthetic_test_examples: int = 8192
+
+
+@dataclasses.dataclass
+class TrainOptions:
+    learning_rate: float = 0.16
+    wd: float = 0.0
+    optimizer: str = "adagrad"
+    lr_schedule: str = "cosine"
+    num_epochs: int = 1
+    train_limit: int = -1             # -1: dataset trainval size
+    display_interval: int = 100
+    test_interval: int = 2000
+    max_train_steps: int = -1
+    max_eval_steps: int = -1
+    test_only_at_last_step: bool = False
+    grad_clip: float = 5.0
+    no_reg_param_name: Optional[str] = None
+    activation: str = "relu"
+    seed: int = 0
+    logging_dir: Optional[str] = None
+
+
+def _spec_and_vocab(data: DataOptions):
+    spec = DATASETS[data.dataset]
+    if data.data_source == "synthetic":
+        return spec, tuple([1000] * spec.num_sparse)
+    return spec, spec.vocab_sizes(data.vocab_cap)
+
+
+def _make_iterators(data: DataOptions):
+    if data.data_source == "synthetic":
+        spec = DATASETS[data.dataset]
+        sspec = SyntheticSpec(
+            num_dense=spec.num_dense, num_sparse=spec.num_sparse, vocab=1000
+        )
+
+        def train_iter():
+            return synthetic_batches(
+                data.synthetic_train_examples, data.train_batch_size, sspec,
+                seed=0, loop=True,
+            )
+
+        def test_iter():
+            return synthetic_batches(
+                data.synthetic_test_examples, data.test_batch_size, sspec, seed=1
+            )
+
+        return train_iter, test_iter
+    return make_dataset_iterators(
+        data.dataset,
+        data.root_dir,
+        train_batch_size=data.train_batch_size,
+        test_batch_size=data.test_batch_size,
+        train_split=data.train_split,
+        validate_split=data.validate_split,
+        vocab_cap=data.vocab_cap,
+    )
+
+
+def _train_steps_per_epoch(data: DataOptions, train: TrainOptions) -> int:
+    if train.max_train_steps != -1:
+        return train.max_train_steps
+    if data.data_source == "synthetic":
+        return data.synthetic_train_examples // data.train_batch_size
+    limit = train.train_limit
+    if limit == -1:
+        spec = DATASETS[data.dataset]
+        limit = spec.num_trainval if data.train_split == "trainval" else spec.num_train
+    return limit // data.train_batch_size
+
+
+def _dump_logs(logging_dir: Optional[str], epoch_logs, options: Dict, ckpt_payload=None,
+               ckpt_name: str = "checkpoint.pkl"):
+    if not logging_dir:
+        return
+    os.makedirs(logging_dir, exist_ok=True)
+    with open(os.path.join(logging_dir, "configs_args.json"), "w") as f:
+        json.dump(options, f, indent=2, default=str)
+    with open(os.path.join(logging_dir, "train_test_logs.pickle"), "wb") as f:
+        pickle.dump(epoch_logs, f)
+    if ckpt_payload is not None:
+        save_checkpoint(os.path.join(logging_dir, ckpt_name), ckpt_payload)
+
+
+# ---------------------------------------------------------------------------
+# 1. Fixed-subnet training (best-model reproduction)
+# ---------------------------------------------------------------------------
+
+
+def train_fixed_subnet(
+    choice_payload: Dict[str, Any],
+    data: DataOptions = DataOptions(),
+    train: TrainOptions = TrainOptions(),
+    use_layernorm: bool = False,   # reference trains best models without LN
+    log_fn: Callable[[str], None] = print,
+) -> Dict[str, Any]:
+    """Train one fixed subnet from scratch (ref: main_train.py:77-221)."""
+    spec, vocab = _spec_and_vocab(data)
+    choice = {"macro": choice_payload["macro"], "micro": choice_payload["micro"]}
+    space = OPS_CONFIG_LIB[choice_payload.get("config", "xlarge")]
+    num_blocks = int(choice_payload.get("num_blocks", len(choice["macro"])))
+    plan = build_fixed_plan(
+        choice, space, num_blocks, spec.num_dense, spec.num_sparse, vocab,
+        use_layernorm=use_layernorm, activation=train.activation,
+    )
+    params = fixed_init(jax.random.PRNGKey(train.seed), plan)
+
+    steps_per_epoch = _train_steps_per_epoch(data, train)
+    num_train_steps = steps_per_epoch * train.num_epochs
+    num_warmup = steps_per_epoch // 10 // train.num_epochs  # ref: main_train.py:164
+    sched = make_lr_schedule(
+        train.lr_schedule, train.learning_rate, num_train_steps, num_warmup
+    )
+    opt = make_optimizer(train.optimizer)
+    state = init_train_state(params, opt)
+    step = make_train_step(
+        lambda p, d, c: fixed_apply(plan, p, d, c),
+        opt, sched,
+        l2_reg=train.wd, l2_exclude=train.no_reg_param_name,
+        grad_clip=train.grad_clip,
+    )
+    eval_step = make_eval_step(lambda p, d, c: fixed_apply(plan, p, d, c))
+    train_iter_fn, test_iter_fn = _make_iterators(data)
+
+    epoch_logs = []
+    best = None
+    for epoch in range(train.num_epochs):
+        state, logs, best_ep = train_and_test_one_epoch(
+            step, eval_step, state, train_iter_fn(), test_iter_fn,
+            epoch=epoch,
+            display_interval=train.display_interval,
+            test_interval=train.test_interval,
+            max_train_steps=steps_per_epoch,
+            max_eval_steps=train.max_eval_steps,
+            test_only_at_last_step=train.test_only_at_last_step,
+            log_fn=log_fn,
+        )
+        epoch_logs.append(logs)
+        if best_ep is not None:
+            best = best_ep
+
+    _dump_logs(
+        train.logging_dir, epoch_logs,
+        {"choice": choice_payload, "data": dataclasses.asdict(data),
+         "train": dataclasses.asdict(train)},
+        ckpt_payload={"params": jax.device_get(state.params), "step": int(state.step)},
+    )
+    return {"state": state, "logs": epoch_logs, "best_params": best, "plan": plan}
+
+
+# ---------------------------------------------------------------------------
+# 2. Supernet one-shot training
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class SupernetOptions:
+    config: str = "xlarge"
+    num_blocks: int = 7
+    use_layernorm: bool = True
+    strategy: str = "default"
+    anypath_choice: str = "binomial-0.5"
+    supernet_training_steps: int = 15000
+    checkpoint_path: Optional[str] = None   # resume
+
+
+def train_supernet(
+    sn: SupernetOptions = SupernetOptions(),
+    data: DataOptions = DataOptions(train_batch_size=512, test_batch_size=4096),
+    train: TrainOptions = TrainOptions(learning_rate=0.12),
+    log_fn: Callable[[str], None] = print,
+) -> Dict[str, Any]:
+    """One-shot supernet training (ref: train_supernet.py:66-238)."""
+    spec, vocab = _spec_and_vocab(data)
+    space = OPS_CONFIG_LIB[sn.config]
+    cfg = SuperNetConfig(
+        space=space, num_blocks=sn.num_blocks, num_dense=spec.num_dense,
+        num_sparse=spec.num_sparse, vocab_sizes=vocab,
+        use_layernorm=sn.use_layernorm, activation=train.activation,
+    )
+    params = supernet_init(jax.random.PRNGKey(train.seed), cfg)
+
+    steps_per_epoch = _train_steps_per_epoch(data, train)
+    num_train_steps = steps_per_epoch * train.num_epochs
+    num_warmup = steps_per_epoch // 10 // train.num_epochs
+    sched = make_lr_schedule(
+        train.lr_schedule, train.learning_rate, num_train_steps, num_warmup
+    )
+    opt = make_optimizer(train.optimizer)
+    state = init_train_state(params, opt)
+    start_step = 0
+    if sn.checkpoint_path:
+        ckpt = load_checkpoint(sn.checkpoint_path)
+        state = init_train_state(
+            jax.tree_util.tree_map(jnp.asarray, ckpt["params"]), opt
+        )
+        if "opt_state" in ckpt:
+            state = dataclasses.replace(
+                state,
+                opt_state=jax.tree_util.tree_map(jnp.asarray, ckpt["opt_state"]),
+            )
+        start_step = int(ckpt.get("step", 0))
+        state = dataclasses.replace(state, step=jnp.asarray(start_step, jnp.int32))
+        log_fn(f"resumed from {sn.checkpoint_path} at step {start_step}")
+
+    step = make_train_step(
+        lambda p, d, c, m: supernet_apply(cfg, p, d, c, m),
+        opt, sched,
+        l2_reg=train.wd, l2_exclude=train.no_reg_param_name,
+        grad_clip=train.grad_clip, has_masks=True,
+    )
+    eval_step = make_eval_step(
+        lambda p, d, c, m: supernet_apply(cfg, p, d, c, m), has_masks=True
+    )
+    sampler = ChoiceSampler(
+        space, sn.num_blocks, strategy=sn.strategy, anypath_choice=sn.anypath_choice,
+        supernet_training_steps=sn.supernet_training_steps, seed=train.seed,
+    )
+    sampler.step_counter = start_step - 1
+    # Supernet eval runs the full path (every subnet active).
+    eval_masks = choice_to_masks(
+        full_path_choice(space, sn.num_blocks), space, sn.num_blocks
+    )
+    train_iter_fn, test_iter_fn = _make_iterators(data)
+
+    epoch_logs = []
+    for epoch in range(train.num_epochs):
+        state, logs, _ = train_and_test_one_epoch(
+            step, eval_step, state, train_iter_fn(), test_iter_fn,
+            epoch=epoch,
+            sampler=lambda: choice_to_masks(sampler(), space, sn.num_blocks),
+            eval_masks=eval_masks,
+            display_interval=train.display_interval,
+            test_interval=train.test_interval,
+            max_train_steps=steps_per_epoch,
+            max_eval_steps=train.max_eval_steps,
+            test_only_at_last_step=train.test_only_at_last_step,
+            keep_best=False,
+            log_fn=log_fn,
+        )
+        epoch_logs.append(logs)
+
+    ckpt_payload = {
+        "params": jax.device_get(state.params),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": int(state.step),
+        "supernet": dataclasses.asdict(sn),
+    }
+    _dump_logs(
+        train.logging_dir, epoch_logs,
+        {"supernet": dataclasses.asdict(sn), "data": dataclasses.asdict(data),
+         "train": dataclasses.asdict(train)},
+        ckpt_payload=ckpt_payload, ckpt_name="supernet_checkpoint.pkl",
+    )
+    return {"state": state, "logs": epoch_logs, "cfg": cfg}
+
+
+# ---------------------------------------------------------------------------
+# 3. Search (random / regularized EA) over a trained supernet
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class SearchOptions:
+    method: str = "regularized-ea"   # regularized-ea | random
+    config: str = "xlarge"
+    num_blocks: int = 7
+    use_layernorm: bool = True
+    ckpt_path: Optional[str] = None
+    learning_rate: float = 0.04
+    max_train_steps: int = 500
+    max_eval_steps: int = 150
+    n_generations: int = 240
+    n_childs: int = 8
+    init_population: int = 128
+    sample_size: int = 64
+    ea_top_k: int = 2
+    budget: int = 200                # random search budget
+    criterion: str = "test_loss"
+    group_size: int = 8
+    seed: int = 0
+
+
+def search_from_supernet(
+    so: SearchOptions = SearchOptions(),
+    data: DataOptions = DataOptions(train_batch_size=512, test_batch_size=8192),
+    logging_dir: Optional[str] = None,
+    log_fn: Callable[[str], None] = print,
+) -> List[Dict]:
+    """EA / random search with weight-shared fine-tuning
+    (ref: eval_subnet_from_supernet.py:220-289)."""
+    spec, vocab = _spec_and_vocab(data)
+    space = OPS_CONFIG_LIB[so.config]
+    cfg = SuperNetConfig(
+        space=space, num_blocks=so.num_blocks, num_dense=spec.num_dense,
+        num_sparse=spec.num_sparse, vocab_sizes=vocab,
+        use_layernorm=so.use_layernorm,
+    )
+    if so.ckpt_path:
+        ckpt = load_checkpoint(so.ckpt_path)
+        supernet_params = jax.tree_util.tree_map(jnp.asarray, ckpt["params"])
+    else:
+        log_fn("WARNING: no supernet checkpoint; searching over random weights")
+        supernet_params = supernet_init(jax.random.PRNGKey(so.seed), cfg)
+
+    train_iter_fn, test_iter_fn = _make_iterators(data)
+    evaluator = make_candidate_evaluator(
+        cfg, supernet_params,
+        learning_rate=so.learning_rate,
+        max_train_steps=so.max_train_steps,
+        max_eval_steps=so.max_eval_steps,
+    )
+
+    def eval_fn(choices):
+        t0 = time.time()
+        results = evaluator(choices, train_iter_fn, test_iter_fn, log_fn=log_fn)
+        log_fn(f"evaluated {len(choices)} candidates in {time.time() - t0:.1f}s")
+        return results
+
+    tokenizer = Tokenizer(so.num_blocks, space, seed=so.seed)
+    searcher = Searcher(
+        eval_fn, tokenizer,
+        SearchConfig(criterion=so.criterion, group_size=so.group_size, seed=so.seed),
+        log_fn=log_fn,
+    )
+    if so.method == "random":
+        results = searcher.random_search_from_supernet(
+            budget=so.budget, top_k=min(so.ea_top_k, so.budget)
+        )
+    elif so.method == "regularized-ea":
+        results = searcher.regularized_evolution_from_supernet(
+            n_generations=so.n_generations, n_childs=so.n_childs,
+            init_population=so.init_population, sample_size=so.sample_size,
+            top_k=so.ea_top_k,
+        )
+    else:
+        raise NotImplementedError(f"method {so.method}")
+
+    if logging_dir:
+        os.makedirs(logging_dir, exist_ok=True)
+        with open(os.path.join(logging_dir, "results.pickle"), "wb") as f:
+            pickle.dump(results, f)
+        with open(os.path.join(logging_dir, "all_results.pickle"), "wb") as f:
+            pickle.dump(searcher.all_results, f)
+    return results
+
+
+# ---------------------------------------------------------------------------
+# 4. Subnet-from-scratch evaluation (search-space / rank-correlation studies)
+# ---------------------------------------------------------------------------
+
+
+def eval_subnets_from_scratch(
+    num_subnets: int = 10,
+    choices: Optional[List[Choice]] = None,
+    config: str = "xlarge",
+    num_blocks: int = 7,
+    data: DataOptions = DataOptions(),
+    train: TrainOptions = TrainOptions(),
+    use_layernorm: bool = False,
+    logging_dir: Optional[str] = None,
+    seed: int = 0,
+    log_fn: Callable[[str], None] = print,
+) -> List[Dict]:
+    """Train N subnets from scratch under step budgets
+    (ref: eval_subnet_from_scratch.py:188-242), skipping diverged runs."""
+    space = OPS_CONFIG_LIB[config]
+    tokenizer = Tokenizer(num_blocks, space, seed=seed)
+    if choices is None:
+        choices = [tokenizer.generate_random_choice() for _ in range(num_subnets)]
+    results = []
+    for i, choice in enumerate(choices):
+        log_fn(f"--- subnet {i + 1}/{len(choices)}")
+        payload = {
+            "macro": choice["macro"], "micro": choice["micro"],
+            "config": config, "num_blocks": num_blocks,
+        }
+        out = train_fixed_subnet(
+            payload, data, train, use_layernorm=use_layernorm, log_fn=log_fn
+        )
+        logs = out["logs"][-1]
+        result = {
+            "choice": choice,
+            "test_loss": logs["test_loss"][-1] if logs["test_loss"] else 999.99,
+            "test_auroc": logs["test_AUROC"][-1] if logs["test_AUROC"] else -1,
+            "test_acc": logs["test_Accuracy"][-1] if logs["test_Accuracy"] else -1,
+            "hash_token": tokenizer.hash_choice(choice),
+        }
+        if result["test_loss"] >= 999.0:
+            log_fn("subnet diverged; recording sentinel result")
+        results.append(result)
+    if logging_dir:
+        os.makedirs(logging_dir, exist_ok=True)
+        with open(os.path.join(logging_dir, "from_scratch_results.pickle"), "wb") as f:
+            pickle.dump(results, f)
+    return results

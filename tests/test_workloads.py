@@ -1,0 +1,183 @@
+"""End-to-end workload tests (synthetic data, tiny budgets): all four CLIs,
+checkpoint/resume, split tool, EA export tool."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from nasrec_tpu.workloads import (
+    DataOptions,
+    SearchOptions,
+    SupernetOptions,
+    TrainOptions,
+    eval_subnets_from_scratch,
+    search_from_supernet,
+    train_fixed_subnet,
+    train_supernet,
+)
+from nasrec_tpu.configs import get_best_arch
+
+
+def _data(bs=128, test_bs=256):
+    return DataOptions(
+        dataset="criteo-kaggle", data_source="synthetic",
+        train_batch_size=bs, test_batch_size=test_bs,
+        synthetic_train_examples=4096, synthetic_test_examples=1024,
+    )
+
+
+def _train(tmp_path=None, steps=30):
+    return TrainOptions(
+        learning_rate=0.05, display_interval=10, test_interval=steps,
+        max_train_steps=steps, max_eval_steps=4,
+        logging_dir=str(tmp_path) if tmp_path else None,
+    )
+
+
+def test_train_fixed_subnet_flow(tmp_path):
+    choice = get_best_arch("criteo-kaggle", "autoctr")
+    payload = {**choice, "config": "autoctr", "num_blocks": 7}
+    out = train_fixed_subnet(
+        payload, _data(), _train(tmp_path), log_fn=lambda s: None
+    )
+    logs = out["logs"][0]
+    assert logs["test_loss"] and np.isfinite(logs["test_loss"][-1])
+    assert os.path.exists(tmp_path / "checkpoint.pkl")
+    assert os.path.exists(tmp_path / "train_test_logs.pickle")
+    assert os.path.exists(tmp_path / "configs_args.json")
+
+
+def test_train_supernet_and_resume(tmp_path):
+    sn = SupernetOptions(
+        config="autoctr", num_blocks=2, strategy="default",
+        supernet_training_steps=5,
+    )
+    out = train_supernet(sn, _data(), _train(tmp_path, steps=12), log_fn=lambda s: None)
+    ckpt_path = tmp_path / "supernet_checkpoint.pkl"
+    assert ckpt_path.exists()
+    # resume continues from the saved step counter
+    sn2 = SupernetOptions(
+        config="autoctr", num_blocks=2, strategy="default",
+        supernet_training_steps=5, checkpoint_path=str(ckpt_path),
+    )
+    out2 = train_supernet(sn2, _data(), _train(None, steps=5), log_fn=lambda s: None)
+    assert int(out2["state"].step) == 12 + 5
+
+
+def test_search_from_supernet_random(tmp_path):
+    # Train a tiny supernet, then run random search against its checkpoint.
+    sn = SupernetOptions(config="autoctr", num_blocks=2, supernet_training_steps=0)
+    train_supernet(sn, _data(), _train(tmp_path, steps=10), log_fn=lambda s: None)
+    so = SearchOptions(
+        method="random", config="autoctr", num_blocks=2,
+        ckpt_path=str(tmp_path / "supernet_checkpoint.pkl"),
+        max_train_steps=5, max_eval_steps=2, budget=4, ea_top_k=2, group_size=2,
+    )
+    results = search_from_supernet(
+        so, _data(), logging_dir=str(tmp_path / "search"), log_fn=lambda s: None
+    )
+    assert len(results) == 2
+    losses = [r["test_loss"] for r in results]
+    assert losses == sorted(losses)
+    assert (tmp_path / "search" / "results.pickle").exists()
+
+
+def test_search_regularized_ea_small():
+    so = SearchOptions(
+        method="regularized-ea", config="autoctr", num_blocks=2,
+        ckpt_path=None, max_train_steps=3, max_eval_steps=2,
+        n_generations=2, n_childs=2, init_population=4, sample_size=3,
+        ea_top_k=1, group_size=2,
+    )
+    results = search_from_supernet(so, _data(), log_fn=lambda s: None)
+    assert len(results) == 2  # top_k per generation x generations
+
+
+def test_eval_subnets_from_scratch(tmp_path):
+    results = eval_subnets_from_scratch(
+        num_subnets=2, config="autoctr", num_blocks=2,
+        data=_data(), train=_train(None, steps=8),
+        logging_dir=str(tmp_path), log_fn=lambda s: None,
+    )
+    assert len(results) == 2
+    assert all("hash_token" in r for r in results)
+    assert (tmp_path / "from_scratch_results.pickle").exists()
+
+
+def test_cli_main_train_synthetic(tmp_path):
+    from nasrec_tpu.cli.main_train import main
+
+    main([
+        "--net", "supernet-config", "--arch", "criteo-kaggle/autoctr",
+        "--data_source", "synthetic", "--max_train_steps", "10",
+        "--max_eval_steps", "2", "--test_interval", "10",
+        "--train_batch_size", "64", "--test_batch_size", "128",
+        "--logging_dir", str(tmp_path / "run"),
+    ])
+    assert (tmp_path / "run" / "checkpoint.pkl").exists()
+
+
+def test_cli_train_supernet_synthetic():
+    from nasrec_tpu.cli.train_supernet import main
+
+    out = main([
+        "--config", "autoctr", "--num_blocks", "2", "--data_source", "synthetic",
+        "--max_train_steps", "6", "--max_eval_steps", "2", "--test_interval", "6",
+        "--train_batch_size", "64", "--test_batch_size", "128",
+        "--supernet_training_steps", "2",
+    ])
+    assert int(out["state"].step) == 6
+
+
+def test_split_tool_roundtrip(tmp_path):
+    from nasrec_tpu.tools.split_data import split_dataset
+
+    rng = np.random.RandomState(0)
+    lines = [
+        f"{rng.randint(0, 2)}\t" + "\t".join(str(rng.randint(0, 9)) for _ in range(5)) + "\n"
+        for _ in range(200)
+    ]
+    counts = split_dataset(
+        lambda: iter(lines), str(tmp_path), num_shards=2, log_fn=lambda s: None
+    )
+    assert sum(counts) == 200
+    # 8/1/1 folds
+    assert counts[0] == 160 and counts[1] == 20 and counts[2] == 20
+    got = []
+    for shard in ("shard-0", "shard-1"):
+        for name in ("train", "val", "test"):
+            f = tmp_path / shard / f"{name}.txt"
+            assert f.exists()
+            got += f.read_text().splitlines()
+    assert sorted(got) == sorted(l.rstrip("\n") for l in lines)
+    # trainval = train + val per shard
+    tv = []
+    for shard in ("shard-0", "shard-1"):
+        tv += (tmp_path / shard / "trainval.txt").read_text().splitlines()
+    assert len(tv) == 180
+
+
+def test_export_ea_results(tmp_path):
+    from nasrec_tpu.search import Tokenizer
+    from nasrec_tpu.config import OPS_CONFIG_LIB
+    from nasrec_tpu.tools.export_ea_results import export_best
+
+    tok = Tokenizer(2, OPS_CONFIG_LIB["autoctr"], seed=0)
+    results = [
+        {"choice": tok.generate_random_choice(), "test_loss": 0.5 - 0.1 * i}
+        for i in range(4)
+    ]
+    results.append(dict(results[-1]))  # duplicate to test dedup
+    paths = export_best(
+        results, str(tmp_path), "autoctr", 2, True, top_k=3, log_fn=lambda s: None
+    )
+    assert len(paths) == 3
+    payload = json.loads(open(paths[0]).read())
+    assert payload["config"] == "autoctr"
+    assert payload["test_loss"] == pytest.approx(0.2)
+    # best_config_0 is the lowest loss and dedup dropped the duplicate
+    losses = [json.loads(open(p).read())["test_loss"] for p in paths]
+    assert losses == sorted(losses)
