@@ -31,7 +31,7 @@ def main():
     from nasrec_tpu.train.loop import init_train_state
     from nasrec_tpu.train.optim import make_lr_schedule
 
-    batch = 4096
+    batch = 16384
     warmup_steps, bench_steps = 10, 50
 
     spec = DATASETS["criteo-kaggle"]

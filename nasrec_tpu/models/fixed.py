@@ -81,6 +81,8 @@ class FixedPlan:
     blocks: Tuple[BlockPlan, ...]
     head_width: int
     use_final_sigmoid: bool = False
+    # See SuperNetConfig.remat_attention.
+    remat_attention: bool = True
 
 
 def build_fixed_plan(
@@ -249,7 +251,12 @@ def fixed_apply(
             elif name == "dot-product":
                 dense_outs.append(dot_product_apply(np_, dense_in, sparse_in, None))
             elif name == "transformer":
-                sparse_outs.append(transformer_apply(np_, sparse_in, None))
+                tf = (
+                    jax.checkpoint(transformer_apply)
+                    if plan.remat_attention
+                    else transformer_apply
+                )
+                sparse_outs.append(tf(np_, sparse_in, None))
             elif name == "linear-3d":
                 sparse_outs.append(
                     elastic_linear3d_apply(np_, sparse_in, plan.activation, None)

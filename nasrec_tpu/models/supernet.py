@@ -73,6 +73,10 @@ class SuperNetConfig:
     activation: str = "relu"
     last_n_blocks_out: int = 1
     use_final_sigmoid: bool = False
+    # Recompute attention in the backward pass instead of saving [B,H,S,S]
+    # score residuals — with head_dim=2 the scores are ~64x larger than the
+    # useful activations, so remat trades negligible FLOPs for huge HBM wins.
+    remat_attention: bool = True
 
     # -- derived static shapes (supernet mode: everything at max width) ------
 
@@ -207,7 +211,12 @@ def _block_apply(
             o = dot_product_apply(np_, dense_in, sparse_in, ddim)
             dense_outs.append(o * gate)
         elif name == "transformer":
-            o = transformer_apply(np_, sparse_in, sdim)
+            tf = (
+                jax.checkpoint(transformer_apply)
+                if cfg.remat_attention
+                else transformer_apply
+            )
+            o = tf(np_, sparse_in, sdim)
             sparse_outs.append(o * gate)
         elif name == "linear-3d":
             o = elastic_linear3d_apply(np_, sparse_in, cfg.activation, sdim)
