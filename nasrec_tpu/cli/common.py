@@ -43,6 +43,9 @@ def add_train_args(p: argparse.ArgumentParser, lr=0.16):
     p.add_argument("--loss_function", default="bce", choices=["bce"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--logging_dir", default=None)
+    p.add_argument("--report_flops", type=int, default=0)
+    p.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler trace into this dir")
 
 
 def data_options(args) -> DataOptions:
@@ -75,4 +78,6 @@ def train_options(args) -> TrainOptions:
         activation=args.activation,
         seed=args.seed,
         logging_dir=args.logging_dir,
+        report_flops=args.report_flops == 1,
+        profile_dir=args.profile_dir,
     )

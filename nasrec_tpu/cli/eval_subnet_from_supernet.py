@@ -43,6 +43,10 @@ def build_parser():
     p.add_argument("--group_size", type=int, default=8,
                    help="candidates per vmapped on-device evaluation")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--beta", type=float, default=0.0,
+                   help="latency penalty strength (test_loss_penalty_lat)")
+    p.add_argument("--target_latency", type=float, default=-1.0)
+    p.add_argument("--latency_batch_size", type=int, default=512)
     p.add_argument("--logging_dir", default=None)
     return p
 
@@ -57,6 +61,8 @@ def main(argv=None):
         n_childs=args.n_childs, init_population=args.init_population,
         sample_size=args.sample_size, ea_top_k=args.ea_top_k, budget=args.budget,
         criterion=args.criterion, group_size=args.group_size, seed=args.seed,
+        beta=args.beta, target_latency=args.target_latency,
+        latency_batch_size=args.latency_batch_size,
     )
     return search_from_supernet(so, data_options(args), logging_dir=args.logging_dir)
 

@@ -32,6 +32,8 @@ def build_parser():
     p.add_argument("--supernet_training_steps", type=int, default=15000,
                    help="full-path warmup steps with linearly decayed probability")
     p.add_argument("--checkpoint_path", default=None, help="resume checkpoint")
+    p.add_argument("--evo_2shot_path_candidates", default=None,
+                   help="pickle with candidate choices for evo-2shot-path")
     return p
 
 
@@ -45,6 +47,7 @@ def main(argv=None):
         anypath_choice=args.anypath_choice,
         supernet_training_steps=args.supernet_training_steps,
         checkpoint_path=args.checkpoint_path,
+        evo_2shot_candidates_path=args.evo_2shot_path_candidates,
     )
     return train_supernet(sn, data_options(args), train_options(args))
 

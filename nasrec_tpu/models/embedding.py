@@ -34,6 +34,24 @@ def embedding_stem_init(key, vocab_sizes: Sequence[int], emb_dim: int) -> Dict:
     return {"table": jnp.concatenate(parts, axis=0)}
 
 
+def load_embedding_from_checkpoint(params: Dict, ckpt_path: str) -> Dict:
+    """Seed the fused embedding table from another checkpoint's table
+    (parity with seeding from a DLRM checkpoint, ref: nasrec/supernet/
+    supernet.py:368-383).  Shapes must match exactly."""
+    from nasrec_tpu.train.checkpoint import load_checkpoint
+
+    ckpt = load_checkpoint(ckpt_path)
+    src = ckpt["params"]["embedding"]["table"]
+    dst = params["embedding"]["table"]
+    if tuple(src.shape) != tuple(dst.shape):
+        raise ValueError(
+            f"embedding table shape mismatch: ckpt {src.shape} vs model {dst.shape}"
+        )
+    out = dict(params)
+    out["embedding"] = {**params["embedding"], "table": jnp.asarray(src)}
+    return out
+
+
 def embedding_stem_apply(
     params: Dict,
     cat_x: jnp.ndarray,  # [B, S] int32 per-slot indices

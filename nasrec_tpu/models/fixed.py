@@ -298,3 +298,13 @@ def fixed_apply(
     if plan.use_final_sigmoid:
         out = jax.nn.sigmoid(out)
     return out
+
+
+def fixed_apply_embedded(
+    plan: FixedPlan, params: Dict, dense_x: jnp.ndarray, stem: jnp.ndarray, **kw
+) -> jnp.ndarray:
+    """Forward with a precomputed [B,S,E] stem (host-offloaded embedding;
+    `params` needs no 'embedding' entry)."""
+    p = dict(params)
+    p.setdefault("embedding", {})
+    return fixed_apply(plan, p, dense_x, stem, stem_lookup=lambda _p, s, _o: s, **kw)

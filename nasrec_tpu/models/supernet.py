@@ -283,3 +283,16 @@ def supernet_apply(
     if cfg.use_final_sigmoid:
         out = jax.nn.sigmoid(out)
     return out
+
+
+def supernet_apply_embedded(
+    cfg: SuperNetConfig, params: Dict, dense_x: jnp.ndarray, stem: jnp.ndarray,
+    masks: ChoiceMasks, **kw
+) -> jnp.ndarray:
+    """Forward with a precomputed [B,S,E] stem (host-offloaded embedding;
+    `params` needs no 'embedding' entry)."""
+    p = dict(params)
+    p.setdefault("embedding", {})
+    return supernet_apply(
+        cfg, p, dense_x, stem, masks, stem_lookup=lambda _p, s, _o: s, **kw
+    )

@@ -82,6 +82,8 @@ class TrainOptions:
     activation: str = "relu"
     seed: int = 0
     logging_dir: Optional[str] = None
+    report_flops: bool = False        # print params + per-example FLOPs
+    profile_dir: Optional[str] = None  # capture a jax.profiler trace
 
 
 def _spec_and_vocab(data: DataOptions):
@@ -142,8 +144,42 @@ def _dump_logs(logging_dir: Optional[str], epoch_logs, options: Dict, ckpt_paylo
         json.dump(options, f, indent=2, default=str)
     with open(os.path.join(logging_dir, "train_test_logs.pickle"), "wb") as f:
         pickle.dump(epoch_logs, f)
+    with open(os.path.join(logging_dir, "train_test_logs.json"), "w") as f:
+        json.dump(epoch_logs, f)
     if ckpt_payload is not None:
         save_checkpoint(os.path.join(logging_dir, ckpt_name), ckpt_payload)
+
+
+def _report_model_stats(apply_fn, params, data: DataOptions, spec, log_fn):
+    """Params + per-example forward FLOPs (fvcore parity, but from XLA's own
+    cost analysis which includes batched matmuls, ref: train_utils.py:436-452)."""
+    from nasrec_tpu.profiling import count_flops, count_params
+
+    dense = jnp.zeros((1, spec.num_dense), jnp.float32)
+    cat = jnp.zeros((1, spec.num_sparse), jnp.int32)
+    try:
+        flops = count_flops(lambda p, d, c: apply_fn(p, d, c), params, dense, cat)
+        log_fn(
+            f"FLOPS: {flops / 1e6:.4f} M/example \t "
+            f"Params: {count_params(params) / 1e6:.4f} M"
+        )
+    except Exception as e:  # cost analysis may be unavailable on some backends
+        log_fn(f"FLOPs analysis unavailable: {e}")
+
+
+class _MaybeProfile:
+    def __init__(self, profile_dir: Optional[str]):
+        self.dir = profile_dir
+
+    def __enter__(self):
+        if self.dir:
+            jax.profiler.start_trace(self.dir)
+        return self
+
+    def __exit__(self, *exc):
+        if self.dir:
+            jax.profiler.stop_trace()
+        return False
 
 
 # ---------------------------------------------------------------------------
@@ -186,22 +222,28 @@ def train_fixed_subnet(
     eval_step = make_eval_step(lambda p, d, c: fixed_apply(plan, p, d, c))
     train_iter_fn, test_iter_fn = _make_iterators(data)
 
+    if train.report_flops:
+        _report_model_stats(
+            lambda p, d, c: fixed_apply(plan, p, d, c), params, data, spec, log_fn
+        )
+
     epoch_logs = []
     best = None
-    for epoch in range(train.num_epochs):
-        state, logs, best_ep = train_and_test_one_epoch(
-            step, eval_step, state, train_iter_fn(), test_iter_fn,
-            epoch=epoch,
-            display_interval=train.display_interval,
-            test_interval=train.test_interval,
-            max_train_steps=steps_per_epoch,
-            max_eval_steps=train.max_eval_steps,
-            test_only_at_last_step=train.test_only_at_last_step,
-            log_fn=log_fn,
-        )
-        epoch_logs.append(logs)
-        if best_ep is not None:
-            best = best_ep
+    with _MaybeProfile(train.profile_dir):
+        for epoch in range(train.num_epochs):
+            state, logs, best_ep = train_and_test_one_epoch(
+                step, eval_step, state, train_iter_fn(), test_iter_fn,
+                epoch=epoch,
+                display_interval=train.display_interval,
+                test_interval=train.test_interval,
+                max_train_steps=steps_per_epoch,
+                max_eval_steps=train.max_eval_steps,
+                test_only_at_last_step=train.test_only_at_last_step,
+                log_fn=log_fn,
+            )
+            epoch_logs.append(logs)
+            if best_ep is not None:
+                best = best_ep
 
     _dump_logs(
         train.logging_dir, epoch_logs,
@@ -226,6 +268,9 @@ class SupernetOptions:
     anypath_choice: str = "binomial-0.5"
     supernet_training_steps: int = 15000
     checkpoint_path: Optional[str] = None   # resume
+    # Candidate list for 'evo-2shot-path' (completes the reference's
+    # unfinished --evo_2shot_path_candidates flag, ref: train_supernet.py:305).
+    evo_2shot_candidates_path: Optional[str] = None
 
 
 def train_supernet(
@@ -276,9 +321,15 @@ def train_supernet(
     eval_step = make_eval_step(
         lambda p, d, c, m: supernet_apply(cfg, p, d, c, m), has_masks=True
     )
+    candidates = None
+    if sn.evo_2shot_candidates_path:
+        with open(sn.evo_2shot_candidates_path, "rb") as f:
+            candidates = pickle.load(f)
+        log_fn(f"loaded {len(candidates)} evo-2shot candidates")
     sampler = ChoiceSampler(
         space, sn.num_blocks, strategy=sn.strategy, anypath_choice=sn.anypath_choice,
         supernet_training_steps=sn.supernet_training_steps, seed=train.seed,
+        candidate_choices=candidates,
     )
     sampler.step_counter = start_step - 1
     # Supernet eval runs the full path (every subnet active).
@@ -343,6 +394,13 @@ class SearchOptions:
     criterion: str = "test_loss"
     group_size: int = 8
     seed: int = 0
+    # Latency-aware search (criterion="test_loss_penalty_lat"):
+    # objective = test_loss + beta * (latency / target_latency - 1)
+    # (TuNAS-style relaxation, ref: searcher.py:65-73)
+    beta: float = 0.0
+    target_latency: float = -1.0
+    latency_batch_size: int = 512
+    latency_trials: int = 50
 
 
 def search_from_supernet(
@@ -375,16 +433,41 @@ def search_from_supernet(
         max_eval_steps=so.max_eval_steps,
     )
 
+    need_latency = so.criterion == "test_loss_penalty_lat" and so.beta != 0.0
+
+    def _measure_choice_latency(choice) -> float:
+        """Standalone fixed-subnet forward latency (ref: searcher_utils.py:77-103)."""
+        from nasrec_tpu.profiling import measure_latency
+
+        plan = build_fixed_plan(
+            choice, space, so.num_blocks, spec.num_dense, spec.num_sparse, vocab,
+            use_layernorm=so.use_layernorm,
+        )
+        params = fixed_init(jax.random.PRNGKey(0), plan)
+        dense = jnp.zeros((so.latency_batch_size, spec.num_dense), jnp.float32)
+        cat = jnp.zeros((so.latency_batch_size, spec.num_sparse), jnp.int32)
+        mean, _ = measure_latency(
+            lambda p, d, c: fixed_apply(plan, p, d, c), (params, dense, cat),
+            num_warmup_steps=5, num_trials=so.latency_trials,
+        )
+        return mean
+
     def eval_fn(choices):
         t0 = time.time()
         results = evaluator(choices, train_iter_fn, test_iter_fn, log_fn=log_fn)
+        if need_latency:
+            for r in results:
+                r["latency"] = _measure_choice_latency(r["choice"])
         log_fn(f"evaluated {len(choices)} candidates in {time.time() - t0:.1f}s")
         return results
 
     tokenizer = Tokenizer(so.num_blocks, space, seed=so.seed)
     searcher = Searcher(
         eval_fn, tokenizer,
-        SearchConfig(criterion=so.criterion, group_size=so.group_size, seed=so.seed),
+        SearchConfig(
+            criterion=so.criterion, group_size=so.group_size, seed=so.seed,
+            beta=so.beta, target_latency=so.target_latency,
+        ),
         log_fn=log_fn,
     )
     if so.method == "random":

@@ -1,0 +1,18 @@
+#!/bin/bash
+# Train the published best autoctr arch on criteo-kaggle from scratch.
+# Hyperparameters mirror the reference launcher
+# (ref: nasrec/scripts/eval_best_model/eval_criteo_autoctr_best_1shot_models.sh).
+LR=0.1
+WD=0
+
+python -u -m nasrec_tpu.cli.main_train \
+    --root_dir ./data/criteo_kaggle_autoctr/ \
+    --dataset criteo-kaggle \
+    --net supernet-config \
+    --arch criteo-kaggle/autoctr \
+    --num_epochs 1 \
+    --learning_rate $LR \
+    --train_batch_size 256 \
+    --wd $WD \
+    --test_interval 10000 \
+    --logging_dir ./experiments/best_models/criteo_autoctr_lr${LR}_wd${WD}
