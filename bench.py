@@ -8,9 +8,11 @@ is the EA whole-network fine-tune step time of 0.21-0.23 s per 512-example
 batch (ref: nasrec/eval_subnet_from_supernet.py:114, Tesla M40), i.e.
 ~2327 examples/s.  vs_baseline is measured against that.
 
-Workload: the flagship Criteo best fixed subnet (xlarge space, search-capped
-vocab ~2.6M rows x 16), full training step (fwd + bwd + adagrad + cosine LR +
-global-norm clip) at batch 4096, device-resident synthetic batches.
+Workload: the flagship Criteo best fixed subnet (xlarge space) with the FULL
+uncapped embedding tables (~33.8M rows x 16, the final-evaluation
+configuration, ref: utils/config.py:17-19) — full training step (fwd + bwd +
+sparse-adagrad table update + cosine LR + global-norm clip) at batch 16384,
+device-resident synthetic batches.
 """
 
 from __future__ import annotations
@@ -24,18 +26,21 @@ import jax.numpy as jnp
 
 
 def main():
-    from nasrec_tpu.config import DATASETS, OPS_CONFIG_LIB, SEARCH_MAX_NUM_EMBEDDINGS
+    from nasrec_tpu.config import DATASETS, OPS_CONFIG_LIB
     from nasrec_tpu.configs import get_best_arch
-    from nasrec_tpu.models import build_fixed_plan, fixed_apply, fixed_init
-    from nasrec_tpu.train import make_optimizer, make_train_step
+    from nasrec_tpu.models import build_fixed_plan, fixed_init
+    from nasrec_tpu.models.embedding import table_offsets
+    from nasrec_tpu.models.fixed import fixed_apply_embedded
+    from nasrec_tpu.train import make_optimizer
     from nasrec_tpu.train.loop import init_train_state
     from nasrec_tpu.train.optim import make_lr_schedule
+    from nasrec_tpu.train.sparse_embedding import make_sparse_embedding_train_step
 
     batch = 16384
-    warmup_steps, bench_steps = 10, 50
+    warmup_steps, bench_steps = 10, 100
 
     spec = DATASETS["criteo-kaggle"]
-    vocab = spec.vocab_sizes(SEARCH_MAX_NUM_EMBEDDINGS)
+    vocab = spec.vocab_sizes(None)  # full tables: final-eval configuration
     choice = get_best_arch("criteo-kaggle", "xlarge")
     plan = build_fixed_plan(
         choice, OPS_CONFIG_LIB["xlarge"], 7, spec.num_dense, spec.num_sparse,
@@ -45,8 +50,9 @@ def main():
     opt = make_optimizer("adagrad")
     state = init_train_state(params, opt)
     sched = make_lr_schedule("cosine", 0.16, 10_000, 1_000)
-    step = make_train_step(
-        lambda p, d, c: fixed_apply(plan, p, d, c), opt, sched, grad_clip=5.0
+    step = make_sparse_embedding_train_step(
+        lambda p, d, s: fixed_apply_embedded(plan, p, d, s),
+        opt, sched, table_offsets(vocab), grad_clip=5.0,
     )
 
     rng = np.random.RandomState(0)
@@ -79,7 +85,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "examples/s/chip (Criteo xlarge best fixed-subnet train step)",
+                "metric": "examples/s/chip (Criteo xlarge best fixed-subnet full-vocab train step)",
                 "value": round(examples_per_sec, 1),
                 "unit": "examples/s/chip",
                 "vs_baseline": round(examples_per_sec / baseline, 2),

@@ -53,20 +53,25 @@ def make_candidate_evaluator(
     final linear and its Adagrad accumulator, all advanced in one vmapped
     step per batch.
     """
+    # The frozen body is threaded through jit as an ARGUMENT — capturing device
+    # arrays as closure constants takes a slow per-call feed path on some PJRT
+    # runtimes (and bloats the compiled program with the weights).
     body = {k: v for k, v in supernet_params.items() if k != "final"}
     final0 = supernet_params["final"]
     sched = make_lr_schedule(
         lr_schedule, learning_rate, max_train_steps, max_train_steps // 10
     )
 
-    def one_candidate_loss(final, masks, dense, cat, y):
-        params = dict(body)
+    def one_candidate_loss(body_p, final, masks, dense, cat, y):
+        params = dict(body_p)
         params["final"] = final
         logits = supernet_apply(cfg, params, dense, cat, masks)
         return bce_with_logits(logits, y)
 
-    def one_candidate_step(final, acc, masks, dense, cat, y, lr):
-        loss, g = jax.value_and_grad(one_candidate_loss)(final, masks, dense, cat, y)
+    def one_candidate_step(body_p, final, acc, masks, dense, cat, y, lr):
+        loss, g = jax.value_and_grad(one_candidate_loss, argnums=1)(
+            body_p, final, masks, dense, cat, y
+        )
         g = clip_by_global_norm(g, grad_clip)
         new_acc = jax.tree_util.tree_map(lambda a, gg: a + jnp.square(gg), acc, g)
         new_final = jax.tree_util.tree_map(
@@ -76,16 +81,16 @@ def make_candidate_evaluator(
         return new_final, new_acc, loss
 
     @jax.jit
-    def multi_step(finals, accs, masks_k, step_idx, dense, cat, y):
+    def multi_step(body_p, finals, accs, masks_k, step_idx, dense, cat, y):
         lr = sched(step_idx)
         return jax.vmap(
-            one_candidate_step, in_axes=(0, 0, 0, None, None, None, None)
-        )(finals, accs, masks_k, dense, cat, y, lr)
+            one_candidate_step, in_axes=(None, 0, 0, 0, None, None, None, None)
+        )(body_p, finals, accs, masks_k, dense, cat, y, lr)
 
     @jax.jit
-    def multi_forward(finals, masks_k, dense, cat):
+    def multi_forward(body_p, finals, masks_k, dense, cat):
         def fwd(final, masks):
-            params = dict(body)
+            params = dict(body_p)
             params["final"] = final
             return supernet_apply(cfg, params, dense, cat, masks)
 
@@ -116,7 +121,7 @@ def make_candidate_evaluator(
                 train_iter = iter(train_iter_fn())
                 continue
             finals, accs, losses = multi_step(
-                finals, accs, masks_k, jnp.asarray(step_idx), dense, cat, y
+                body, finals, accs, masks_k, jnp.asarray(step_idx), dense, cat, y
             )
             step_idx += 1
             if step_idx % 100 == 0:
@@ -127,7 +132,7 @@ def make_candidate_evaluator(
         for i, (dense, cat, y) in enumerate(test_iter_fn()):
             if max_eval_steps != -1 and i >= max_eval_steps:
                 break
-            logits = multi_forward(finals, masks_k, dense, cat)  # [K, B, 1]
+            logits = multi_forward(body, finals, masks_k, dense, cat)  # [K, B, 1]
             all_logits.append(np.asarray(logits)[..., 0])
             all_labels.append(np.asarray(y).ravel())
         logits = np.concatenate(all_logits, axis=1)  # [K, N]

@@ -1,0 +1,160 @@
+"""Sparse (touched-rows-only) embedding updates inside one jitted step.
+
+Problem: the generic train step materialises a DENSE gradient for the fused
+embedding table (gather-VJP scatters into a table-sized zero array) and the
+optimizer then reads+writes every row of table/accumulator — ~1 GB of HBM
+traffic per step for the search-capped Criteo table, dominating the step.
+
+TPU-native fix: differentiate w.r.t. the looked-up stem [B,S,E] instead of
+the table, aggregate duplicate rows ON DEVICE with static shapes
+(sort + cumsum segment-sum), and scatter-update only the touched rows:
+
+    rows, seg = aggregate(idx, d_stem)      # seg = per-unique-row summed grad
+    acc'   = acc.at[rows].add(seg^2)        # adagrad accumulates (sum g)^2
+    table' = table.at[rows].add(-lr * seg / (sqrt(acc_rows + seg^2) + eps))
+
+Off-boundary positions carry seg=0, so their scatter contributions are exact
+no-ops — everything stays static-shape.  Semantics match torch's dense
+Adagrad exactly (duplicates summed before squaring), including the global
+grad-norm clip which sees the aggregated per-row norms.
+
+Traffic drops from O(table) to O(batch * slots) per step.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nasrec_tpu.train.loop import TrainState
+from nasrec_tpu.train.metrics import bce_with_logits
+from nasrec_tpu.train.optim import Optimizer
+
+
+def rowwise_segment_sum(rows: jnp.ndarray, g: jnp.ndarray):
+    """Aggregate gradient contributions of duplicate rows (static shapes).
+
+    rows: [N] int32, g: [N, E].  Returns (sorted_rows [N], seg [N, E]) where
+    seg is the full per-row sum at each segment's LAST position and exactly
+    zero elsewhere.
+    """
+    order = jnp.argsort(rows)
+    r = rows[order]
+    gs = jnp.take(g, order, axis=0)
+    cs = jnp.cumsum(gs, axis=0)
+    is_end = jnp.concatenate([r[1:] != r[:-1], jnp.ones((1,), bool)])
+    n = r.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    # Index of the previous segment end (exclusive prefix cummax of end marks).
+    end_pos = jnp.where(is_end, pos, -1)
+    prev_end = jax.lax.associative_scan(jnp.maximum, end_pos)
+    prev_end = jnp.concatenate([jnp.full((1,), -1, jnp.int32), prev_end[:-1]])
+    base = jnp.where(
+        (prev_end >= 0)[:, None], jnp.take(cs, jnp.maximum(prev_end, 0), axis=0), 0.0
+    )
+    seg = jnp.where(is_end[:, None], cs - base, 0.0)
+    return r, seg
+
+
+def sparse_adagrad_table_update(
+    table: jnp.ndarray,
+    acc: jnp.ndarray,
+    rows: jnp.ndarray,   # [N] already-sorted rows from rowwise_segment_sum
+    seg: jnp.ndarray,    # [N, E] aggregated grads (zero off-boundary)
+    lr,
+    eps: float = 1e-2,
+    scale=1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    seg = seg * scale
+    acc_rows = jnp.take(acc, rows, axis=0)
+    sq = jnp.square(seg)
+    new_acc = acc.at[rows].add(sq)
+    delta = -lr * seg / (jnp.sqrt(acc_rows + sq) + eps)
+    new_table = table.at[rows].add(delta)
+    return new_table, new_acc
+
+
+def make_sparse_embedding_train_step(
+    apply_embedded: Callable,   # (params_rest, dense, stem[, masks]) -> logits
+    optimizer: Optimizer,       # used for all non-embedding params
+    lr_schedule: Callable,
+    offsets: np.ndarray,        # [S] per-slot row offsets (static)
+    *,
+    grad_clip: Optional[float] = 5.0,
+    adagrad_eps: float = 1e-2,
+    l2_reg: float = 0.0,        # applied to non-embedding params only
+    l2_exclude: Optional[str] = None,
+    has_masks: bool = False,
+    donate: bool = True,
+):
+    """jitted step(state, dense, cat, y) with a sparse-adagrad table update.
+
+    `state.params` holds the full pytree including params["embedding"]["table"];
+    `state.opt_state` mirrors it (the table's slot is its adagrad accumulator).
+    Requires the embedding optimizer to be Adagrad and wd handled as an
+    explicit loss EXCLUDING the table (a dense L2 grad would defeat sparsity).
+    """
+    # Keep the closure as NumPy: device arrays captured as jit constants take a
+    # slow per-call feed path on some PJRT runtimes; NumPy folds into the HLO.
+    offsets = np.asarray(offsets, np.int32)
+
+    from nasrec_tpu.train.optim import l2_penalty
+
+    def step_fn(state: TrainState, dense, cat, y, masks=None):
+        params = state.params
+        table = params["embedding"]["table"]
+        rest = {k: v for k, v in params.items() if k != "embedding"}
+        idx = (cat + jnp.asarray(offsets)[None, :]).reshape(-1)
+        stem = jnp.take(table, idx, axis=0).reshape(cat.shape[0], cat.shape[1], -1)
+
+        def loss_fn(rest_p, stem_in):
+            logits = (
+                apply_embedded(rest_p, dense, stem_in, masks)
+                if has_masks
+                else apply_embedded(rest_p, dense, stem_in)
+            )
+            bce = bce_with_logits(logits, y)
+            l2 = l2_penalty(rest_p, l2_reg, l2_exclude)
+            return bce + l2, (bce, logits)
+
+        (loss, (bce, logits)), (g_rest, g_stem) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(rest, stem)
+        rows, seg = rowwise_segment_sum(idx, g_stem.reshape(-1, stem.shape[-1]))
+
+        if grad_clip is not None:
+            sq_rest = sum(
+                jnp.sum(jnp.square(l.astype(jnp.float32)))
+                for l in jax.tree_util.tree_leaves(g_rest)
+            )
+            sq_emb = jnp.sum(jnp.square(seg))
+            norm = jnp.sqrt(sq_rest + sq_emb)
+            scale = jnp.minimum(1.0, grad_clip / (norm + 1e-6))
+        else:
+            scale = jnp.float32(1.0)
+
+        lr = lr_schedule(state.step)
+        g_rest = jax.tree_util.tree_map(lambda g: g * scale, g_rest)
+        opt_rest = {k: v for k, v in state.opt_state.items() if k != "embedding"}
+        new_rest, new_opt_rest = optimizer.update(rest, opt_rest, g_rest, lr)
+
+        acc = state.opt_state["embedding"]["table"]
+        new_table, new_acc = sparse_adagrad_table_update(
+            table, acc, rows, seg, lr, adagrad_eps, scale
+        )
+
+        new_params = dict(new_rest)
+        new_params["embedding"] = {**params["embedding"], "table": new_table}
+        new_opt = dict(new_opt_rest)
+        new_opt["embedding"] = {**state.opt_state["embedding"], "table": new_acc}
+        metrics = {"loss": bce, "l2": loss - bce, "lr": lr, "logits": logits}
+        return TrainState(new_params, new_opt, state.step + 1), metrics
+
+    if has_masks:
+        fn = lambda state, dense, cat, y, masks: step_fn(state, dense, cat, y, masks)
+    else:
+        fn = lambda state, dense, cat, y: step_fn(state, dense, cat, y)
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())

@@ -84,6 +84,16 @@ class TrainOptions:
     logging_dir: Optional[str] = None
     report_flops: bool = False        # print params + per-example FLOPs
     profile_dir: Optional[str] = None  # capture a jax.profiler trace
+    # Sparse (touched-rows-only) embedding update: "auto" enables it for
+    # adagrad with wd=0 — HBM traffic drops from O(table) to O(batch*slots),
+    # which is the difference between 0.9ms and 16ms/step at full Criteo vocab.
+    sparse_embedding: Any = "auto"     # "auto" | True | False
+
+
+def _use_sparse_embedding(train: "TrainOptions") -> bool:
+    if isinstance(train.sparse_embedding, bool):
+        return train.sparse_embedding
+    return train.optimizer == "adagrad" and train.wd == 0.0
 
 
 def _spec_and_vocab(data: DataOptions):
@@ -213,12 +223,24 @@ def train_fixed_subnet(
     )
     opt = make_optimizer(train.optimizer)
     state = init_train_state(params, opt)
-    step = make_train_step(
-        lambda p, d, c: fixed_apply(plan, p, d, c),
-        opt, sched,
-        l2_reg=train.wd, l2_exclude=train.no_reg_param_name,
-        grad_clip=train.grad_clip,
-    )
+    if _use_sparse_embedding(train):
+        from nasrec_tpu.models.embedding import table_offsets
+        from nasrec_tpu.models.fixed import fixed_apply_embedded
+        from nasrec_tpu.train.sparse_embedding import make_sparse_embedding_train_step
+
+        step = make_sparse_embedding_train_step(
+            lambda p, d, s: fixed_apply_embedded(plan, p, d, s),
+            opt, sched, table_offsets(vocab),
+            grad_clip=train.grad_clip,
+            l2_reg=train.wd, l2_exclude=train.no_reg_param_name,
+        )
+    else:
+        step = make_train_step(
+            lambda p, d, c: fixed_apply(plan, p, d, c),
+            opt, sched,
+            l2_reg=train.wd, l2_exclude=train.no_reg_param_name,
+            grad_clip=train.grad_clip,
+        )
     eval_step = make_eval_step(lambda p, d, c: fixed_apply(plan, p, d, c))
     train_iter_fn, test_iter_fn = _make_iterators(data)
 
@@ -312,12 +334,25 @@ def train_supernet(
         state = dataclasses.replace(state, step=jnp.asarray(start_step, jnp.int32))
         log_fn(f"resumed from {sn.checkpoint_path} at step {start_step}")
 
-    step = make_train_step(
-        lambda p, d, c, m: supernet_apply(cfg, p, d, c, m),
-        opt, sched,
-        l2_reg=train.wd, l2_exclude=train.no_reg_param_name,
-        grad_clip=train.grad_clip, has_masks=True,
-    )
+    if _use_sparse_embedding(train):
+        from nasrec_tpu.models.embedding import table_offsets
+        from nasrec_tpu.models.supernet import supernet_apply_embedded
+        from nasrec_tpu.train.sparse_embedding import make_sparse_embedding_train_step
+
+        step = make_sparse_embedding_train_step(
+            lambda p, d, s, m: supernet_apply_embedded(cfg, p, d, s, m),
+            opt, sched, table_offsets(vocab),
+            grad_clip=train.grad_clip,
+            l2_reg=train.wd, l2_exclude=train.no_reg_param_name,
+            has_masks=True,
+        )
+    else:
+        step = make_train_step(
+            lambda p, d, c, m: supernet_apply(cfg, p, d, c, m),
+            opt, sched,
+            l2_reg=train.wd, l2_exclude=train.no_reg_param_name,
+            grad_clip=train.grad_clip, has_masks=True,
+        )
     eval_step = make_eval_step(
         lambda p, d, c, m: supernet_apply(cfg, p, d, c, m), has_masks=True
     )

@@ -1,0 +1,83 @@
+"""Sparse-embedding train step must exactly match the dense-gradient step."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nasrec_tpu.config import OPS_CONFIG_LIB
+from nasrec_tpu.configs import get_best_arch
+from nasrec_tpu.models import build_fixed_plan, fixed_apply, fixed_init
+from nasrec_tpu.models.fixed import fixed_apply_embedded
+from nasrec_tpu.models.embedding import table_offsets
+from nasrec_tpu.data.synthetic import SyntheticSpec, synthetic_batches
+from nasrec_tpu.train import make_optimizer, make_train_step
+from nasrec_tpu.train.loop import init_train_state
+from nasrec_tpu.train.sparse_embedding import (
+    make_sparse_embedding_train_step,
+    rowwise_segment_sum,
+)
+
+
+def test_rowwise_segment_sum_aggregates_duplicates(rng):
+    rows = jnp.asarray(np.array([3, 1, 3, 3, 0, 1], np.int32))
+    g = jnp.asarray(rng.randn(6, 4).astype(np.float32))
+    r, seg = rowwise_segment_sum(rows, g)
+    gn = np.asarray(g)
+    want = {0: gn[4], 1: gn[1] + gn[5], 3: gn[0] + gn[2] + gn[3]}
+    r, seg = np.asarray(r), np.asarray(seg)
+    # scatter-add seg at r reproduces the dense per-row sums
+    dense = np.zeros((4, 4), np.float32)
+    np.add.at(dense, r, seg)
+    for row, w in want.items():
+        np.testing.assert_allclose(dense[row], w, rtol=1e-5, atol=1e-6)
+    # off-boundary rows contribute exactly zero
+    assert (np.abs(seg).sum(axis=1) > 0).sum() == 3
+
+
+@pytest.mark.parametrize("clip", [5.0, 0.05])
+def test_sparse_step_matches_dense_step(clip):
+    # vocab=8 guarantees heavy duplicate rows within every batch.
+    choice = get_best_arch("criteo-kaggle", "autoctr")
+    plan = build_fixed_plan(
+        choice, OPS_CONFIG_LIB["autoctr"], 7, 13, 26, tuple([8] * 26),
+        use_layernorm=False,
+    )
+    params = fixed_init(jax.random.PRNGKey(0), plan)
+    opt = make_optimizer("adagrad")
+    lr = lambda s: jnp.asarray(0.1)
+    spec = SyntheticSpec(vocab=8)
+    batches = list(synthetic_batches(5 * 64, 64, spec, seed=0))
+
+    state_dense = init_train_state(params, opt)
+    step_dense = make_train_step(
+        lambda p, d, c: fixed_apply(plan, p, d, c), opt, lr,
+        grad_clip=clip, donate=False,
+    )
+    for d, c, y in batches:
+        state_dense, m_dense = step_dense(state_dense, d, c, y)
+
+    state_sp = init_train_state(params, opt)
+    step_sp = make_sparse_embedding_train_step(
+        lambda p, d, s: fixed_apply_embedded(plan, p, d, s), opt, lr,
+        table_offsets(plan.vocab_sizes), grad_clip=clip, donate=False,
+    )
+    for d, c, y in batches:
+        state_sp, m_sp = step_sp(state_sp, d, c, y)
+
+    assert float(m_dense["loss"]) == pytest.approx(float(m_sp["loss"]), rel=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(state_sp.params["embedding"]["table"]),
+        np.asarray(state_dense.params["embedding"]["table"]),
+        rtol=2e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(state_sp.opt_state["embedding"]["table"]),
+        np.asarray(state_dense.opt_state["embedding"]["table"]),
+        rtol=2e-4, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(state_sp.params["final"]["w"]),
+        np.asarray(state_dense.params["final"]["w"]),
+        rtol=1e-4, atol=1e-6,
+    )
