@@ -13,6 +13,7 @@ inference deterministically.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, List, Tuple
 
 import jax
@@ -81,8 +82,9 @@ class FixedPlan:
     blocks: Tuple[BlockPlan, ...]
     head_width: int
     use_final_sigmoid: bool = False
-    # See SuperNetConfig.remat_attention.
+    # See SuperNetConfig.remat_attention / attention_impl.
     remat_attention: bool = True
+    attention_impl: str = "xla"
 
 
 def build_fixed_plan(
@@ -96,6 +98,7 @@ def build_fixed_plan(
     use_layernorm: bool = False,
     activation: str = "relu",
     use_final_sigmoid: bool = False,
+    attention_impl: str = "xla",
 ) -> FixedPlan:
     validate_choice(choice, space, num_blocks)
     dense_w: List[int] = [num_dense]      # virtual-block dense widths
@@ -141,6 +144,7 @@ def build_fixed_plan(
         blocks=tuple(blocks),
         head_width=head_width,
         use_final_sigmoid=use_final_sigmoid,
+        attention_impl=attention_impl,
     )
 
 
@@ -251,11 +255,9 @@ def fixed_apply(
             elif name == "dot-product":
                 dense_outs.append(dot_product_apply(np_, dense_in, sparse_in, None))
             elif name == "transformer":
-                tf = (
-                    jax.checkpoint(transformer_apply)
-                    if plan.remat_attention
-                    else transformer_apply
-                )
+                tf = functools.partial(transformer_apply, impl=plan.attention_impl)
+                if plan.remat_attention and plan.attention_impl != "pallas":
+                    tf = jax.checkpoint(tf)
                 sparse_outs.append(tf(np_, sparse_in, None))
             elif name == "linear-3d":
                 sparse_outs.append(

@@ -19,6 +19,7 @@ Differences from the reference, on purpose (TPU-first):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -77,6 +78,9 @@ class SuperNetConfig:
     # score residuals — with head_dim=2 the scores are ~64x larger than the
     # useful activations, so remat trades negligible FLOPs for huge HBM wins.
     remat_attention: bool = True
+    # "pallas": fused VMEM-resident attention kernel (no [B,H,S,S] in HBM in
+    # either direction; makes remat unnecessary).  "xla": einsum path.
+    attention_impl: str = "xla"
 
     # -- derived static shapes (supernet mode: everything at max width) ------
 
@@ -211,11 +215,9 @@ def _block_apply(
             o = dot_product_apply(np_, dense_in, sparse_in, ddim)
             dense_outs.append(o * gate)
         elif name == "transformer":
-            tf = (
-                jax.checkpoint(transformer_apply)
-                if cfg.remat_attention
-                else transformer_apply
-            )
+            tf = functools.partial(transformer_apply, impl=cfg.attention_impl)
+            if cfg.remat_attention and cfg.attention_impl != "pallas":
+                tf = jax.checkpoint(tf)
             o = tf(np_, sparse_in, sdim)
             sparse_outs.append(o * gate)
         elif name == "linear-3d":

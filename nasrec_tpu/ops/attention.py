@@ -66,21 +66,35 @@ def transformer_init(
     return p
 
 
-def _mha(p: Params, x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
-    """Standard multi-head self-attention; softmax in f32."""
+def _mha(p: Params, x: jnp.ndarray, num_heads: int, impl: str = "xla") -> jnp.ndarray:
+    """Multi-head self-attention; softmax in f32.
+
+    impl="pallas" uses the fused VMEM-resident kernel
+    (ops/kernels/attention_pallas.py) which never materialises [B,H,S,S] in
+    HBM in either direction; "xla" is the einsum path.
+    """
     b, s, e = x.shape
     hd = e // num_heads
     qkv = jnp.dot(x, p["w_in"].astype(x.dtype)) + p["b_in"].astype(x.dtype)
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
-    def heads(t):
-        return t.reshape(b, s, num_heads, hd).transpose(0, 2, 1, 3)  # [B,H,S,hd]
+    if impl == "pallas":
+        from nasrec_tpu.ops.kernels.attention_pallas import fused_tiny_head_attention
 
-    q, k, v = heads(q), heads(k), heads(v)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(jnp.asarray(hd, x.dtype))
-    attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
-    out = out.transpose(0, 2, 1, 3).reshape(b, s, e)
+        out = fused_tiny_head_attention(
+            q, k, v, num_heads, jax.default_backend() != "tpu"
+        )
+    else:
+        def heads(t):
+            return t.reshape(b, s, num_heads, hd).transpose(0, 2, 1, 3)  # [B,H,S,hd]
+
+        qh, kh, vh = heads(q), heads(k), heads(v)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) / jnp.sqrt(
+            jnp.asarray(hd, x.dtype)
+        )
+        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh)
+        out = out.transpose(0, 2, 1, 3).reshape(b, s, e)
     return jnp.dot(out, p["w_out"].astype(x.dtype)) + p["b_out"].astype(x.dtype)
 
 
@@ -89,6 +103,7 @@ def transformer_apply(
     sparse: jnp.ndarray,  # [B, S_in, E]
     slot_mask: Optional[jnp.ndarray] = None,
     num_heads: int = NUM_MHA_HEADS,
+    impl: str = "xla",
 ) -> jnp.ndarray:
     xt = jnp.swapaxes(sparse, 1, 2)          # [B, E, S_in]
     xt = linear_apply(p["proj"], xt)          # [B, E, out_slots]
@@ -97,7 +112,7 @@ def transformer_apply(
     x = jnp.swapaxes(xt, 1, 2)                # [B, out_slots, E]
     x = apply_mask(x, slot_mask, axis=1)      # mask slot axis (ref :653-662)
 
-    attn = _mha(p["mha"], x, num_heads)
+    attn = _mha(p["mha"], x, num_heads, impl)
     x = ln_apply(p["attn_ln"], attn + x)      # residual + LN(0.17) (ref :666-668)
 
     h = jax.nn.relu(linear_apply(p["fc1"], x))  # hard-coded relu (ref :671)

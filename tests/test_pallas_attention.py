@@ -1,0 +1,80 @@
+"""Fused tiny-head attention kernel vs the jnp reference (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nasrec_tpu.ops.kernels.attention_pallas import (
+    fused_tiny_head_attention,
+    mha_reference,
+)
+
+
+@pytest.mark.parametrize("shape", [(8, 64, 16), (16, 48, 16), (4, 16, 16)])
+def test_forward_matches_reference(shape, rng):
+    b, s, e = shape
+    q = jnp.asarray(rng.randn(b, s, e).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, s, e).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, s, e).astype(np.float32))
+    got = fused_tiny_head_attention(q, k, v, 8, True)
+    want = mha_reference(q, k, v, 8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_gradients_match_reference(rng):
+    b, s, e = 8, 32, 16
+    q = jnp.asarray(rng.randn(b, s, e).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, s, e).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, s, e).astype(np.float32))
+    w = jnp.asarray(rng.randn(b, s, e).astype(np.float32))  # cotangent weights
+
+    def loss_kernel(q, k, v):
+        return jnp.sum(fused_tiny_head_attention(q, k, v, 8, True) * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(mha_reference(q, k, v, 8) * w)
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-4, atol=1e-4)
+
+
+def test_transformer_node_pallas_impl_matches_xla(rng):
+    from nasrec_tpu.ops import transformer_apply, transformer_init
+    from nasrec_tpu.choices import prefix_mask
+
+    p = transformer_init(jax.random.PRNGKey(0), 26, 32, 16, use_layernorm=True)
+    x = jnp.asarray(rng.randn(8, 26, 16).astype(np.float32))
+    mask = jnp.asarray(prefix_mask(32, 20))
+    a = transformer_apply(p, x, mask, impl="xla")
+    b = transformer_apply(p, x, mask, impl="pallas")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_fixed_model_pallas_attention(rng):
+    """Whole fixed model with pallas attention == xla attention (fwd+grad)."""
+    from nasrec_tpu.config import OPS_CONFIG_LIB
+    from nasrec_tpu.configs import get_best_arch
+    from nasrec_tpu.models import build_fixed_plan, fixed_apply, fixed_init
+    import dataclasses
+
+    choice = get_best_arch("criteo-kaggle", "xlarge")
+    plan_x = build_fixed_plan(
+        choice, OPS_CONFIG_LIB["xlarge"], 7, 13, 26, tuple([64] * 26),
+        use_layernorm=False,
+    )
+    plan_p = dataclasses.replace(plan_x, attention_impl="pallas")
+    params = fixed_init(jax.random.PRNGKey(0), plan_x)
+    d = jnp.asarray(rng.randn(8, 13).astype(np.float32))
+    c = jnp.asarray(rng.randint(0, 64, size=(8, 26)).astype(np.int32))
+    a = fixed_apply(plan_x, params, d, c)
+    b = fixed_apply(plan_p, params, d, c)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+    ga = jax.grad(lambda p: jnp.sum(fixed_apply(plan_x, p, d, c)))(params)
+    gb = jax.grad(lambda p: jnp.sum(fixed_apply(plan_p, p, d, c)))(params)
+    la, lb = jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)
+    for x_, y_ in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(x_), np.asarray(y_), rtol=5e-3, atol=1e-4)
