@@ -43,7 +43,26 @@ def shard_paths(
     return [os.path.join(d, f"{split}.txt") for d in mine]
 
 
-def _read_batches(path: str, batch_size: int, transform: Callable) -> Iterator:
+def _read_batches(
+    path: str, batch_size: int, transform: Callable, use_native: str | bool = "auto"
+) -> Iterator:
+    """Stream one shard as transformed batches.
+
+    Uses the multithreaded C++ parser (data/native/, ~100x the Python rate)
+    when it is available and the transform carries dataset metadata; falls
+    back to the pure-Python row parser otherwise.
+    """
+    if use_native in ("auto", True) and hasattr(transform, "vocab"):
+        from nasrec_tpu.data.native import native_available, read_batches_native
+
+        if native_available():
+            yield from read_batches_native(
+                path, batch_size, transform.num_dense, transform.num_sparse,
+                transform.vocab, transform.zero_dense,
+            )
+            return
+        if use_native is True:
+            raise RuntimeError("native parser requested but unavailable")
     rows: List[List[str]] = []
     with open(path, "r") as f:
         for line in f:

@@ -70,6 +70,11 @@ def _make_transform(dataset: str, zero_dense: bool, cap: int | None = None) -> C
         cat_idx = (np.fmod(cats, vocab[None, :] - 1) + 1).astype(np.int32)
         return dense, cat_idx, labels
 
+    # Metadata consumed by the native C++ reader (data/native/).
+    transform.num_dense = spec.num_dense
+    transform.num_sparse = spec.num_sparse
+    transform.vocab = vocab
+    transform.zero_dense = zero_dense
     return transform
 
 
