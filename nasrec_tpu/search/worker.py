@@ -45,6 +45,7 @@ def make_candidate_evaluator(
     lr_schedule: str = "cosine",
     grad_clip: float = 5.0,
     adagrad_eps: float = 1e-2,
+    eval_batch_chunk: int = 1024,
 ) -> Callable:
     """Build `evaluate(choices, train_iter_fn, test_iter_fn) -> [results]`.
 
@@ -128,12 +129,21 @@ def make_candidate_evaluator(
                 log_fn(f"finetune step {step_idx}: loss {np.asarray(losses).mean():.5f}")
 
         # Eval: accumulate per-candidate logits over the shared test stream.
+        # Large eval batches (ref: 8192) are chunked so the K-way vmapped
+        # supernet forward stays within HBM.
         all_logits, all_labels = [], []
         for i, (dense, cat, y) in enumerate(test_iter_fn()):
             if max_eval_steps != -1 and i >= max_eval_steps:
                 break
-            logits = multi_forward(body, finals, masks_k, dense, cat)  # [K, B, 1]
-            all_logits.append(np.asarray(logits)[..., 0])
+            chunks = []
+            for s in range(0, len(y), eval_batch_chunk):
+                sl = slice(s, s + eval_batch_chunk)
+                chunks.append(
+                    np.asarray(
+                        multi_forward(body, finals, masks_k, dense[sl], cat[sl])
+                    )[..., 0]
+                )
+            all_logits.append(np.concatenate(chunks, axis=1))
             all_labels.append(np.asarray(y).ravel())
         logits = np.concatenate(all_logits, axis=1)  # [K, N]
         labels = np.concatenate(all_labels)
