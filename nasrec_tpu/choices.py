@@ -111,6 +111,46 @@ def full_path_choice(space: OpsConfig, num_blocks: int) -> Choice:
     return {"macro": macro, "micro": micro}
 
 
+def enumerate_macro_choices(block_idx: int) -> Dict[str, list]:
+    """All macro input-selections for one block (ref: supernet.py:670-712):
+    every non-empty subset of prior outputs for dense/sparse, singletons for
+    the binary-op left/right inputs."""
+    from itertools import combinations
+
+    n_prior = block_idx + 1
+    subsets: List[tuple] = []
+    for k in range(1, n_prior + 1):
+        subsets += list(combinations(range(n_prior), k))
+    singles = [(j,) for j in range(n_prior)]
+    return {
+        "dense_idx": list(subsets),
+        "sparse_idx": list(subsets),
+        "dense_left_idx": list(singles),
+        "dense_right_idx": list(singles),
+    }
+
+
+def enumerate_micro_choices(space: OpsConfig) -> Dict[str, list]:
+    """All micro options per block (ref: supernet.py:1164-1183)."""
+    return {
+        "active_nodes": [
+            (d, s) for s in space.sparse_nodes for d in space.dense_nodes
+        ],
+        "dense_in_dims": [(d,) for d in space.dense_node_dims],
+        "sparse_in_dims": [(d,) for d in space.sparse_node_dims],
+        "dense_sparse_interact": [0, 1],
+        "deep_fm": [0, 1],
+    }
+
+
+def get_all_subnet_choices(space: OpsConfig, num_blocks: int) -> Dict[str, list]:
+    """Per-block enumeration of the whole choice space (ref: supernet.py:714-721)."""
+    return {
+        "macro": [enumerate_macro_choices(i) for i in range(num_blocks)],
+        "micro": [enumerate_micro_choices(space) for _ in range(num_blocks)],
+    }
+
+
 # ---------------------------------------------------------------------------
 # JSON round-trip (reference schema compatible)
 # ---------------------------------------------------------------------------

@@ -189,6 +189,7 @@ def train_and_test_one_epoch(
     test_only_at_last_step: bool = False,
     keep_best: bool = True,
     log_fn: Callable[[str], None] = print,
+    metrics_writer=None,  # optional train.logging.MetricsWriter
 ) -> Tuple[TrainState, Dict[str, list], Optional[Any]]:
     """One epoch of interleaved train/eval.  Returns (state, logs, best_params).
 
@@ -241,6 +242,12 @@ def train_and_test_one_epoch(
             logs["train_Accuracy"].append(train_acc)
             logs["epoch"].append(epoch)
             logs["iters"].append(batch_num)
+            if metrics_writer is not None:
+                # Tag scheme mirrors the reference (train_utils.py:334-338).
+                metrics_writer.scalar(f"Loss/train/epoch{epoch}", loss, batch_num)
+                metrics_writer.scalar(f"Acc/train/epoch{epoch}", train_acc, batch_num)
+                metrics_writer.scalar(f"AUROC/train/epoch{epoch}", train_auroc, batch_num)
+                metrics_writer.scalar(f"lr/epoch{epoch}", float(metrics["lr"]), batch_num)
 
         if batch_num % test_interval == 0 or is_last:
             if (not test_only_at_last_step) or is_last:
@@ -256,6 +263,10 @@ def train_and_test_one_epoch(
                 logs["test_loss"].append(tloss)
                 logs["test_AUROC"].append(auroc)
                 logs["test_Accuracy"].append(acc)
+                if metrics_writer is not None:
+                    metrics_writer.scalar(f"Loss/test/epoch{epoch}", tloss, batch_num)
+                    metrics_writer.scalar(f"Acc/test/epoch{epoch}", acc, batch_num)
+                    metrics_writer.scalar(f"AUROC/test/epoch{epoch}", auroc, batch_num)
                 if keep_best and tloss < best_test_loss:
                     best_test_loss = tloss
                     best_params = jax.device_get(state.params)

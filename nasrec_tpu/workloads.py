@@ -249,6 +249,9 @@ def train_fixed_subnet(
             lambda p, d, c: fixed_apply(plan, p, d, c), params, data, spec, log_fn
         )
 
+    from nasrec_tpu.train.logging import MetricsWriter
+
+    writer = MetricsWriter(train.logging_dir)
     epoch_logs = []
     best = None
     with _MaybeProfile(train.profile_dir):
@@ -262,10 +265,12 @@ def train_fixed_subnet(
                 max_eval_steps=train.max_eval_steps,
                 test_only_at_last_step=train.test_only_at_last_step,
                 log_fn=log_fn,
+                metrics_writer=writer,
             )
             epoch_logs.append(logs)
             if best_ep is not None:
                 best = best_ep
+    writer.close()
 
     _dump_logs(
         train.logging_dir, epoch_logs,
@@ -373,6 +378,9 @@ def train_supernet(
     )
     train_iter_fn, test_iter_fn = _make_iterators(data)
 
+    from nasrec_tpu.train.logging import MetricsWriter
+
+    writer = MetricsWriter(train.logging_dir)
     epoch_logs = []
     for epoch in range(train.num_epochs):
         state, logs, _ = train_and_test_one_epoch(
@@ -387,8 +395,10 @@ def train_supernet(
             test_only_at_last_step=train.test_only_at_last_step,
             keep_best=False,
             log_fn=log_fn,
+            metrics_writer=writer,
         )
         epoch_logs.append(logs)
+    writer.close()
 
     ckpt_payload = {
         "params": jax.device_get(state.params),
