@@ -62,6 +62,9 @@ class DataOptions:
     vocab_cap: Optional[int] = None   # SEARCH_MAX_NUM_EMBEDDINGS during search
     synthetic_train_examples: int = 65536
     synthetic_test_examples: int = 8192
+    # Multi-host: this process reads shards where shard_idx %% num_hosts == host_id.
+    host_id: int = 0
+    num_hosts: int = 1
 
 
 @dataclasses.dataclass
@@ -130,6 +133,8 @@ def _make_iterators(data: DataOptions):
         train_split=data.train_split,
         validate_split=data.validate_split,
         vocab_cap=data.vocab_cap,
+        host_id=data.host_id,
+        num_hosts=data.num_hosts,
     )
 
 
