@@ -47,6 +47,8 @@ def build_parser():
                    help="latency penalty strength (test_loss_penalty_lat)")
     p.add_argument("--target_latency", type=float, default=-1.0)
     p.add_argument("--latency_batch_size", type=int, default=512)
+    p.add_argument("--finetune_whole_supernet", type=int, default=0,
+                   help="1: fine-tune all params per candidate (sequential)")
     p.add_argument("--logging_dir", default=None)
     return p
 
@@ -63,6 +65,7 @@ def main(argv=None):
         criterion=args.criterion, group_size=args.group_size, seed=args.seed,
         beta=args.beta, target_latency=args.target_latency,
         latency_batch_size=args.latency_batch_size,
+        finetune_mode="whole" if args.finetune_whole_supernet == 1 else "final-only",
     )
     return search_from_supernet(so, data_options(args), logging_dir=args.logging_dir)
 

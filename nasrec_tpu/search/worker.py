@@ -46,14 +46,26 @@ def make_candidate_evaluator(
     grad_clip: float = 5.0,
     adagrad_eps: float = 1e-2,
     eval_batch_chunk: int = 1024,
+    finetune_mode: str = "final-only",  # final-only | whole | layernorm-calibrate
 ) -> Callable:
     """Build `evaluate(choices, train_iter_fn, test_iter_fn) -> [results]`.
 
-    Final-only fine-tune (the reference's default EA mode): the body of
-    `supernet_params` is frozen and shared; each candidate owns a copy of the
-    final linear and its Adagrad accumulator, all advanced in one vmapped
-    step per batch.
+    finetune_mode:
+      "final-only" (the reference's default EA mode, set_mode_to_finelune_
+      last_only): the body of `supernet_params` is frozen and shared, so K
+      candidates advance in ONE vmapped step per batch (each owns only a
+      copy of the final linear + its Adagrad accumulator).
+      "whole" (--finetune_whole_supernet 1) and "layernorm-calibrate" train
+      larger parameter sets, so candidates are fine-tuned sequentially with
+      the standard masked train step.
     """
+    if finetune_mode != "final-only":
+        return _make_sequential_evaluator(
+            cfg, supernet_params, finetune_mode,
+            learning_rate=learning_rate, max_train_steps=max_train_steps,
+            max_eval_steps=max_eval_steps, lr_schedule=lr_schedule,
+            grad_clip=grad_clip, eval_batch_chunk=eval_batch_chunk,
+        )
     # The frozen body is threaded through jit as an ARGUMENT — capturing device
     # arrays as closure constants takes a slow per-call feed path on some PJRT
     # runtimes (and bloats the compiled program with the weights).
@@ -171,6 +183,78 @@ def make_candidate_evaluator(
                     "test_loss": logloss,
                 }
             )
+        return results
+
+    return evaluate
+
+
+def _make_sequential_evaluator(
+    cfg: SuperNetConfig,
+    supernet_params: Dict,
+    finetune_mode: str,
+    *,
+    learning_rate: float,
+    max_train_steps: int,
+    max_eval_steps: int,
+    lr_schedule: str,
+    grad_clip: float,
+    eval_batch_chunk: int,
+) -> Callable:
+    """Whole-net / LN-calibrate fine-tune: one candidate at a time, standard
+    masked train step, params re-loaded from the supernet checkpoint per
+    candidate (ref: eval_subnet_from_supernet.py:116-122, :169-176)."""
+    from nasrec_tpu.train.loop import (
+        evaluate_one_epoch,
+        freeze_mask,
+        init_train_state,
+        make_eval_step,
+        make_train_step,
+    )
+    from nasrec_tpu.train.optim import make_lr_schedule, make_optimizer
+
+    mode = {"whole": "normal", "layernorm-calibrate": "layernorm-calibrate"}[
+        finetune_mode
+    ]
+    opt = make_optimizer("adagrad")
+    sched = make_lr_schedule(
+        lr_schedule, learning_rate, max_train_steps, max_train_steps // 10
+    )
+    trainable = None if mode == "normal" else freeze_mask(supernet_params, mode)
+    step = make_train_step(
+        lambda p, d, c, m: supernet_apply(cfg, p, d, c, m),
+        opt, sched, grad_clip=grad_clip, has_masks=True,
+        trainable=trainable, donate=False,
+    )
+    eval_step = make_eval_step(
+        lambda p, d, c, m: supernet_apply(cfg, p, d, c, m), has_masks=True
+    )
+
+    def evaluate(choices, train_iter_fn, test_iter_fn, log_fn=lambda s: None):
+        results = []
+        for ci, choice in enumerate(choices):
+            masks = choice_to_masks(choice, cfg.space, cfg.num_blocks)
+            state = init_train_state(supernet_params, opt)
+            step_idx = 0
+            train_iter = iter(train_iter_fn())
+            while step_idx < max_train_steps:
+                try:
+                    dense, cat, y = next(train_iter)
+                except StopIteration:
+                    train_iter = iter(train_iter_fn())
+                    continue
+                state, metrics = step(state, dense, cat, y, masks)
+                step_idx += 1
+            acc, auroc, logloss = evaluate_one_epoch(
+                eval_step, state.params, test_iter_fn(),
+                masks=masks, max_steps=max_eval_steps,
+            )
+            if not np.isfinite(logloss):
+                results.append({"choice": choice, "test_acc": -1,
+                                "test_auroc": -1, "test_loss": 999.99})
+            else:
+                results.append({"choice": choice, "test_acc": acc,
+                                "test_auroc": auroc, "test_loss": logloss})
+            log_fn(f"candidate {ci + 1}/{len(choices)}: loss {results[-1]['test_loss']:.5f}")
         return results
 
     return evaluate

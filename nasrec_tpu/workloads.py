@@ -444,6 +444,9 @@ class SearchOptions:
     criterion: str = "test_loss"
     group_size: int = 8
     seed: int = 0
+    # "final-only" (default) vmaps K candidates per step; "whole" /
+    # "layernorm-calibrate" fine-tune sequentially (ref --finetune_whole_supernet).
+    finetune_mode: str = "final-only" 
     # Latency-aware search (criterion="test_loss_penalty_lat"):
     # objective = test_loss + beta * (latency / target_latency - 1)
     # (TuNAS-style relaxation, ref: searcher.py:65-73)
@@ -481,6 +484,7 @@ def search_from_supernet(
         learning_rate=so.learning_rate,
         max_train_steps=so.max_train_steps,
         max_eval_steps=so.max_eval_steps,
+        finetune_mode=so.finetune_mode,
     )
 
     need_latency = so.criterion == "test_loss_penalty_lat" and so.beta != 0.0

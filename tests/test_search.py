@@ -166,3 +166,25 @@ def test_vmapped_evaluator_finetunes_final_only():
     # Candidate ranking should not be all identical losses.
     losses = [r["test_loss"] for r in results]
     assert len(set(np.round(losses, 6))) > 1
+
+
+def test_whole_supernet_finetune_mode():
+    """finetune_mode='whole' trains all params sequentially per candidate."""
+    space = OPS_CONFIG_LIB["autoctr"]
+    cfg = SuperNetConfig(
+        space=space, num_blocks=2, num_dense=13, num_sparse=26,
+        vocab_sizes=tuple([100] * 26), use_layernorm=True,
+    )
+    params = supernet_init(jax.random.PRNGKey(2), cfg)
+    tok = Tokenizer(2, space, seed=9)
+    choices = [tok.generate_random_choice() for _ in range(2)]
+    spec = SyntheticSpec()
+    results = make_candidate_evaluator(
+        cfg, params, max_train_steps=10, max_eval_steps=2, finetune_mode="whole"
+    )(
+        choices,
+        lambda: synthetic_batches(1024, 128, spec, seed=0, loop=True),
+        lambda: synthetic_batches(256, 128, spec, seed=1),
+    )
+    assert len(results) == 2
+    assert all(np.isfinite(r["test_loss"]) for r in results)
