@@ -11,8 +11,9 @@ batch (ref: nasrec/eval_subnet_from_supernet.py:114, Tesla M40), i.e.
 Workload: the flagship Criteo best fixed subnet (xlarge space) with the FULL
 uncapped embedding tables (~33.8M rows x 16, the final-evaluation
 configuration, ref: utils/config.py:17-19) — full training step (fwd + bwd +
-sparse-adagrad table update + cosine LR + global-norm clip) at batch 16384,
-device-resident synthetic batches.
+sparse-adagrad table update + cosine LR + global-norm clip) at batch 32768
+with the Pallas fused attention (the XLA attention path OOMs above batch
+16k), device-resident synthetic batches.
 """
 
 from __future__ import annotations
@@ -36,7 +37,7 @@ def main():
     from nasrec_tpu.train.optim import make_lr_schedule
     from nasrec_tpu.train.sparse_embedding import make_sparse_embedding_train_step
 
-    batch = 16384
+    batch = 32768
     warmup_steps, bench_steps = 10, 100
 
     spec = DATASETS["criteo-kaggle"]
@@ -44,7 +45,7 @@ def main():
     choice = get_best_arch("criteo-kaggle", "xlarge")
     plan = build_fixed_plan(
         choice, OPS_CONFIG_LIB["xlarge"], 7, spec.num_dense, spec.num_sparse,
-        vocab, use_layernorm=False,
+        vocab, use_layernorm=False, attention_impl="pallas",
     )
     params = fixed_init(jax.random.PRNGKey(0), plan)
     opt = make_optimizer("adagrad")
@@ -56,7 +57,7 @@ def main():
     )
 
     rng = np.random.RandomState(0)
-    n_slices = 8
+    n_slices = 4
     batches = [
         (
             jnp.asarray(rng.randn(batch, spec.num_dense).astype(np.float32)),
