@@ -149,9 +149,10 @@ def evaluate_one_epoch(
     for i, (dense, cat, y) in enumerate(test_iter):
         if max_steps != -1 and i >= max_steps:
             break
+        m = masks() if callable(masks) else masks  # callable = sample per batch
         logits = (
-            eval_step(params, dense, cat, masks)
-            if masks is not None
+            eval_step(params, dense, cat, m)
+            if m is not None
             else eval_step(params, dense, cat)
         )
         all_logits.append(np.asarray(logits).ravel())

@@ -188,12 +188,19 @@ class _MaybeProfile:
 
     def __enter__(self):
         if self.dir:
-            jax.profiler.start_trace(self.dir)
+            try:
+                jax.profiler.start_trace(self.dir)
+            except Exception as e:  # profiling must never kill a run
+                print(f"profiler unavailable: {e}")
+                self.dir = None
         return self
 
     def __exit__(self, *exc):
         if self.dir:
-            jax.profiler.stop_trace()
+            try:
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
         return False
 
 
@@ -303,6 +310,10 @@ class SupernetOptions:
     # Candidate list for 'evo-2shot-path' (completes the reference's
     # unfinished --evo_2shot_path_candidates flag, ref: train_supernet.py:305).
     evo_2shot_candidates_path: Optional[str] = None
+    # Supernet eval: "full-path" (stable; every node active) or "sampled"
+    # (reference behavior — the eval forward samples a random subnet per
+    # batch, ref: train_utils.py:144-147 via SuperNet.forward sampling).
+    eval_path: str = "full-path"
 
 
 def train_supernet(
@@ -377,10 +388,16 @@ def train_supernet(
         candidate_choices=candidates,
     )
     sampler.step_counter = start_step - 1
-    # Supernet eval runs the full path (every subnet active).
-    eval_masks = choice_to_masks(
-        full_path_choice(space, sn.num_blocks), space, sn.num_blocks
-    )
+    if sn.eval_path == "sampled":
+        eval_sampler = ChoiceSampler(
+            space, sn.num_blocks, strategy=sn.strategy,
+            anypath_choice=sn.anypath_choice, seed=train.seed + 1,
+        )
+        eval_masks = lambda: choice_to_masks(eval_sampler(), space, sn.num_blocks)
+    else:
+        eval_masks = choice_to_masks(
+            full_path_choice(space, sn.num_blocks), space, sn.num_blocks
+        )
     train_iter_fn, test_iter_fn = _make_iterators(data)
 
     from nasrec_tpu.train.logging import MetricsWriter

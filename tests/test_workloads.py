@@ -181,3 +181,13 @@ def test_export_ea_results(tmp_path):
     # best_config_0 is the lowest loss and dedup dropped the duplicate
     losses = [json.loads(open(p).read())["test_loss"] for p in paths]
     assert losses == sorted(losses)
+
+
+def test_train_supernet_sampled_eval_path():
+    sn = SupernetOptions(
+        config="xlarge-zeros", num_blocks=2, strategy="any-path",
+        supernet_training_steps=0, eval_path="sampled",
+    )
+    out = train_supernet(sn, _data(), _train(None, steps=8), log_fn=lambda s: None)
+    logs = out["logs"][0]
+    assert logs["test_loss"] and np.isfinite(logs["test_loss"][-1])
