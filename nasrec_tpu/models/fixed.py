@@ -85,6 +85,9 @@ class FixedPlan:
     # See SuperNetConfig.remat_attention / attention_impl.
     remat_attention: bool = True
     attention_impl: str = "xla"
+    # Recompute each block in the backward pass (activations are cheap to
+    # recompute; trades ~30% step time for the HBM that caps large batches).
+    remat_blocks: bool = False
 
 
 def build_fixed_plan(
@@ -236,6 +239,26 @@ def fixed_apply(
         left_in = _gather_concat(dense_list, bp.left_idx, axis=-1)
         right_in = _gather_concat(dense_list, bp.right_idx, axis=-1)
 
+        block_fn = _make_block_fn(plan, i, bp)
+        if plan.remat_blocks:
+            block_fn = jax.checkpoint(block_fn)
+        dense_out, sparse_out = block_fn(
+            bparams, dense_in, sparse_in, left_in, right_in
+        )
+        dense_list.append(dense_out)
+        sparse_list.append(sparse_out)
+
+    flat_sparse = sparse_list[-1].reshape(sparse_list[-1].shape[0], -1)
+    feats = jnp.concatenate([dense_list[-1], flat_sparse], axis=-1)
+    out = linear_apply(params["final"], feats).astype(jnp.float32)
+    if plan.use_final_sigmoid:
+        out = jax.nn.sigmoid(out)
+    return out
+
+
+def _make_block_fn(plan: FixedPlan, i: int, bp: BlockPlan):
+    def block_fn(bparams, dense_in, sparse_in, left_in, right_in):
+        dtype = dense_in.dtype
         dense_outs, sparse_outs = [], []
         for k in bp.active_nodes:
             name = plan.space.node_names[k]
@@ -246,7 +269,7 @@ def fixed_apply(
                 )
             elif name == "zeros-2d":
                 dense_outs.append(
-                    jnp.zeros((dense_in.shape[0], bp.dense_dim), compute_dtype)
+                    jnp.zeros((dense_in.shape[0], bp.dense_dim), dtype)
                 )
             elif name == "sum":
                 dense_outs.append(sum_apply(np_, left_in, right_in, None))
@@ -266,7 +289,7 @@ def fixed_apply(
             elif name == "zeros-3d":
                 sparse_outs.append(
                     jnp.zeros(
-                        (sparse_in.shape[0], bp.sparse_dim, plan.emb_dim), compute_dtype
+                        (sparse_in.shape[0], bp.sparse_dim, plan.emb_dim), dtype
                     )
                 )
             else:
@@ -291,15 +314,9 @@ def fixed_apply(
         if bp.interact:
             sparse_out = jnp.concatenate([sparse_out, proj], axis=1)
 
-        dense_list.append(dense_out)
-        sparse_list.append(sparse_out)
+        return dense_out, sparse_out
 
-    flat_sparse = sparse_list[-1].reshape(sparse_list[-1].shape[0], -1)
-    feats = jnp.concatenate([dense_list[-1], flat_sparse], axis=-1)
-    out = linear_apply(params["final"], feats).astype(jnp.float32)
-    if plan.use_final_sigmoid:
-        out = jax.nn.sigmoid(out)
-    return out
+    return block_fn
 
 
 def fixed_apply_embedded(

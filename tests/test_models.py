@@ -263,3 +263,24 @@ def test_evo_2shot_samples_from_candidates():
     for _ in range(10):
         sampled = sampler()
         assert any(sampled == c["choice"] for c in cands)
+
+
+def test_remat_blocks_equivalent(rng):
+    import dataclasses
+
+    choice = get_best_arch("criteo-kaggle", "xlarge")
+    plan = build_fixed_plan(
+        choice, OPS_CONFIG_LIB["xlarge"], 7, 13, 26, tuple([64] * 26),
+        use_layernorm=False,
+    )
+    plan_r = dataclasses.replace(plan, remat_blocks=True)
+    params = fixed_init(jax.random.PRNGKey(0), plan)
+    d = jnp.asarray(rng.randn(4, 13).astype(np.float32))
+    c = jnp.asarray(rng.randint(0, 64, size=(4, 26)).astype(np.int32))
+    a = np.asarray(fixed_apply(plan, params, d, c))
+    b = np.asarray(fixed_apply(plan_r, params, d, c))
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+    ga = jax.grad(lambda p: float(0) + jnp.sum(fixed_apply(plan, p, d, c)))(params)
+    gb = jax.grad(lambda p: jnp.sum(fixed_apply(plan_r, p, d, c)))(params)
+    for x_, y_ in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(x_), np.asarray(y_), rtol=1e-5, atol=1e-6)
