@@ -44,6 +44,47 @@ ANYPATH_CHOICE_FNS: Dict[str, Callable[[np.random.RandomState, int], int]] = {
 }
 
 
+class DeviceMaskBuffer:
+    """Amortizes per-step ChoiceMasks host->device uploads.
+
+    Uploading 9 small mask arrays per training step dominates small-batch
+    supernet training (measured ~5 ms/step on the v5e tunnel vs 2.5 ms of
+    compute).  This pre-samples `size` choices, stacks their masks into ONE
+    device-resident buffer, and per step hands out `(buffer, idx)` — the
+    train step selects `tree_map(lambda x: x[idx], buffer)` on device, so
+    only a scalar index crosses the host boundary each step.
+    """
+
+    def __init__(self, sampler: "ChoiceSampler", size: int = 256):
+        import jax
+
+        self.sampler = sampler
+        self.size = size
+        self._jax = jax
+        self._refill()
+
+    def _refill(self):
+        from nasrec_tpu.choices import choice_to_masks
+
+        s = self.sampler
+        stacked = self._jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs),
+            *[
+                choice_to_masks(s(), s.space, s.num_blocks)
+                for _ in range(self.size)
+            ],
+        )
+        self.buffer = self._jax.device_put(stacked)
+        self.pos = 0
+
+    def __call__(self):
+        if self.pos >= self.size:
+            self._refill()
+        idx = np.int32(self.pos)
+        self.pos += 1
+        return (self.buffer, idx)
+
+
 class ChoiceSampler:
     """Samples subnet choices per training step.
 

@@ -95,6 +95,10 @@ def make_train_step(
     """Build the jitted optimizer step: state, batch[, masks] -> state, metrics."""
 
     def step_fn(state: TrainState, dense, cat, y, masks=None):
+        if isinstance(masks, tuple):  # (device mask buffer, index) — select on device
+            buffer, idx = masks
+            masks = jax.tree_util.tree_map(lambda x: x[idx], buffer)
+
         def loss_fn(params):
             logits = (
                 apply_fn(params, dense, cat, masks)

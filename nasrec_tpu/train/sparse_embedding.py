@@ -104,6 +104,9 @@ def make_sparse_embedding_train_step(
     from nasrec_tpu.train.optim import l2_penalty
 
     def step_fn(state: TrainState, dense, cat, y, masks=None):
+        if isinstance(masks, tuple):  # (device mask buffer, index) — select on device
+            buffer, buf_idx = masks
+            masks = jax.tree_util.tree_map(lambda x: x[buf_idx], buffer)
         params = state.params
         table = params["embedding"]["table"]
         rest = {k: v for k, v in params.items() if k != "embedding"}

@@ -403,12 +403,15 @@ def train_supernet(
     from nasrec_tpu.train.logging import MetricsWriter
 
     writer = MetricsWriter(train.logging_dir)
+    from nasrec_tpu.sampling import DeviceMaskBuffer
+
+    mask_buffer = DeviceMaskBuffer(sampler, size=min(256, max(steps_per_epoch, 1)))
     epoch_logs = []
     for epoch in range(train.num_epochs):
         state, logs, _ = train_and_test_one_epoch(
             step, eval_step, state, train_iter_fn(), test_iter_fn,
             epoch=epoch,
-            sampler=lambda: choice_to_masks(sampler(), space, sn.num_blocks),
+            sampler=mask_buffer,
             eval_masks=eval_masks,
             display_interval=train.display_interval,
             test_interval=train.test_interval,
