@@ -20,6 +20,11 @@ class SyntheticSpec:
     num_sparse: int = 26
     vocab: int = 100
     signal_scale: float = 2.0
+    # Planted second-order structure: the label also depends on dot products
+    # of per-(slot,value) latent factors over this many random slot pairs —
+    # the kind of signal CTR interaction ops (dot-product, FM) exist to model.
+    interaction_pairs: int = 0
+    interaction_scale: float = 1.0
 
 
 def synthetic_arrays(
@@ -27,8 +32,9 @@ def synthetic_arrays(
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(dense f32 [N,D], cat i32 [N,S], label f32 [N,1]).
 
-    The planted model (w, cat_effects) depends only on `spec`, so different
-    seeds draw train/eval examples from the SAME ground-truth distribution.
+    The planted model (w, cat_effects, latent factors) depends only on `spec`,
+    so different seeds draw train/eval examples from the SAME ground-truth
+    distribution.
     """
     model_rng = np.random.RandomState(1234)
     w = model_rng.randn(spec.num_dense).astype(np.float32) / np.sqrt(spec.num_dense)
@@ -39,6 +45,19 @@ def synthetic_arrays(
     logits = spec.signal_scale * (
         dense @ w + cat_effects[np.arange(spec.num_sparse)[None, :], cat].sum(1)
     )
+    if spec.interaction_pairs > 0:
+        d_lat = 4
+        z = model_rng.randn(spec.num_sparse, spec.vocab, d_lat).astype(np.float32)
+        pairs = [
+            tuple(model_rng.choice(spec.num_sparse, 2, replace=False))
+            for _ in range(spec.interaction_pairs)
+        ]
+        inter = np.zeros(n, np.float32)
+        for i, j in pairs:
+            inter += np.einsum("nd,nd->n", z[i, cat[:, i]], z[j, cat[:, j]])
+        logits = logits + spec.interaction_scale * inter / np.sqrt(
+            spec.interaction_pairs
+        )
     p = 1.0 / (1.0 + np.exp(-logits))
     y = (rng.random_sample(n) < p).astype(np.float32)[:, None]
     return dense, cat, y

@@ -126,3 +126,20 @@ def test_binary_cache_shuffle_is_permutation(tmp_path):
         [b[2] for b in open_binary_cache(prefix, 8, shuffle=True, seed=1)]
     )
     assert sorted(plain.ravel().tolist()) == sorted(shuffled.ravel().tolist())
+
+
+def test_synthetic_interactions_planted():
+    from nasrec_tpu.data.synthetic import SyntheticSpec, synthetic_arrays
+
+    spec = SyntheticSpec(num_dense=4, num_sparse=8, vocab=50,
+                         signal_scale=0.5, interaction_pairs=6,
+                         interaction_scale=3.0)
+    d1, c1, y1 = synthetic_arrays(2000, spec, seed=0)
+    d2, c2, y2 = synthetic_arrays(2000, spec, seed=0)
+    np.testing.assert_array_equal(y1, y2)  # deterministic
+    # The interaction term must change labels vs the first-order-only model.
+    spec0 = SyntheticSpec(num_dense=4, num_sparse=8, vocab=50,
+                          signal_scale=0.5, interaction_pairs=0)
+    _, _, y0 = synthetic_arrays(2000, spec0, seed=0)
+    assert (y1 != y0).mean() > 0.05
+    assert 0.2 < y1.mean() < 0.8
