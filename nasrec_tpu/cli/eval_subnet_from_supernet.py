@@ -15,7 +15,7 @@ from __future__ import annotations
 import argparse
 
 from nasrec_tpu.cli.common import add_data_args, data_options
-from nasrec_tpu.workloads import DataOptions, SearchOptions, search_from_supernet
+from nasrec_tpu.workloads import SearchOptions, search_from_supernet
 
 
 def build_parser():

@@ -13,7 +13,7 @@ Everything here is static host-side configuration; nothing touches JAX.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 # ---------------------------------------------------------------------------
 # Embedding cardinalities.

@@ -26,7 +26,6 @@ memory (no [B,H,S,S] HBM transients in the backward).  Default stays "xla".
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import numpy as np
 import jax

@@ -17,7 +17,7 @@ near (see tests/test_host_embedding.py).
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Tuple
+from typing import Callable
 
 import numpy as np
 import jax

@@ -23,7 +23,7 @@ Traffic drops from O(table) to O(batch * slots) per step.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import numpy as np
 import jax

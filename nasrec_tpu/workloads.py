@@ -19,12 +19,11 @@ import pickle
 import time
 from typing import Any, Callable, Dict, List, Optional
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
 from nasrec_tpu.config import DATASETS, OPS_CONFIG_LIB, SEARCH_MAX_NUM_EMBEDDINGS
-from nasrec_tpu.choices import Choice, choice_to_masks, full_path_choice, load_choice_file
+from nasrec_tpu.choices import Choice, choice_to_masks, full_path_choice
 from nasrec_tpu.models import (
     SuperNetConfig,
     build_fixed_plan,
@@ -44,7 +43,7 @@ from nasrec_tpu.train import (
     save_checkpoint,
     train_and_test_one_epoch,
 )
-from nasrec_tpu.train.loop import freeze_mask, init_train_state
+from nasrec_tpu.train.loop import init_train_state
 from nasrec_tpu.train.optim import make_lr_schedule
 from nasrec_tpu.data.pipeline import make_dataset_iterators
 from nasrec_tpu.data.synthetic import SyntheticSpec, synthetic_batches
