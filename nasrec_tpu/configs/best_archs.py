@@ -124,4 +124,8 @@ def get_best_arch(dataset: str, space: str) -> Choice:
 
     dataset in {criteo-kaggle, avazu, kdd}; space in {xlarge, autoctr}.
     """
-    return BEST_ARCHS[(dataset, space)]
+    key = (dataset, space)
+    if key not in BEST_ARCHS:
+        valid = ", ".join(f"{d}/{s}" for d, s in sorted(BEST_ARCHS))
+        raise KeyError(f"unknown arch '{dataset}/{space}'; available: {valid}")
+    return BEST_ARCHS[key]

@@ -163,6 +163,11 @@ def evaluate_one_epoch(
         all_labels.append(np.asarray(y).ravel())
         if verbose and (i + 1) % 50 == 0:
             print(f"eval: {i + 1} batches")
+    if not all_logits:
+        raise ValueError(
+            "eval iterator produced no batches — is test_batch_size larger "
+            "than the eval split (batches are dropped when short)?"
+        )
     logits = np.concatenate(all_logits)
     labels = np.concatenate(all_labels)
     probs = stable_sigmoid(logits)

@@ -12,8 +12,10 @@ python -u -m nasrec_tpu.cli.train_supernet --config autoctr --num_blocks 3 \
 python -u -m nasrec_tpu.cli.eval_subnet_from_supernet --config autoctr \
     --num_blocks 3 --data_source synthetic --method random --budget 4 \
     --max_train_steps 10 --max_eval_steps 2 --group_size 2 --ea_top_k 2 \
+    --train_batch_size 256 --test_batch_size 512 \
     --ckpt_path /tmp/nasrec_tpu_smoke/supernet_checkpoint.pkl
 python -u -m nasrec_tpu.cli.eval_subnet_from_scratch --config autoctr \
     --num_blocks 3 --data_source synthetic --num_subnets 2 \
+    --train_batch_size 256 --test_batch_size 512 \
     --max_train_steps 10 --max_eval_steps 2 --test_interval 10
 echo "smoke OK"
