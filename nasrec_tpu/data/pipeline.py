@@ -127,6 +127,30 @@ def prefetch(it: Iterable, depth: int = 4) -> Iterator:
         yield item
 
 
+def device_prefetch(it: Iterable, depth: int = 2) -> Iterator:
+    """Move batches to the accelerator `depth` steps ahead of consumption, so
+    host->device transfer overlaps device compute (the last host-side piece
+    of the input pipeline; pairs with the binary cache for production runs)."""
+    import collections
+
+    import jax
+
+    buf = collections.deque()
+    it = iter(it)
+    try:
+        for _ in range(depth):
+            buf.append(jax.device_put(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(jax.device_put(next(it)))
+        except StopIteration:
+            pass
+        yield out
+
+
 def make_dataset_iterators(
     dataset: str,
     root_dir: str,

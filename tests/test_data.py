@@ -143,3 +143,29 @@ def test_synthetic_interactions_planted():
     _, _, y0 = synthetic_arrays(2000, spec0, seed=0)
     assert (y1 != y0).mean() > 0.05
     assert 0.2 < y1.mean() < 0.8
+
+
+def test_device_prefetch_preserves_batches(tmp_path):
+    from nasrec_tpu.data.pipeline import device_prefetch
+
+    rng = np.random.RandomState(0)
+    batches = [
+        (rng.randn(4, 3).astype(np.float32),
+         rng.randint(0, 9, (4, 2)).astype(np.int32),
+         rng.randint(0, 2, (4, 1)).astype(np.float32))
+        for _ in range(5)
+    ]
+    out = list(device_prefetch(iter(batches), depth=2))
+    assert len(out) == 5
+    for (a, b, c), (x, y, z) in zip(batches, out):
+        np.testing.assert_array_equal(a, np.asarray(x))
+        np.testing.assert_array_equal(c, np.asarray(z))
+
+
+def test_build_cache_cli(tmp_path):
+    from nasrec_tpu.tools.build_cache import main
+
+    root = _write_shards(tmp_path, "kdd", rows_per_shard=30)
+    main(["--dataset", "kdd", "--root_dir", root, "--split", "train",
+          "--out_dir", str(tmp_path / "cache")])
+    assert (tmp_path / "cache" / "train-h0.dense.npy").exists()
