@@ -31,3 +31,35 @@ def save_checkpoint(path: str, payload: Dict[str, Any]) -> None:
 def load_checkpoint(path: str) -> Dict[str, Any]:
     with open(path, "rb") as f:
         return pickle.load(f)
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend (optional): async, multi-host-aware checkpointing of array
+# pytrees.  Use for long production runs; the pickle path stays the default
+# for its zero-dependency portability.
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint_orbax(path: str, tree: Any, *, wait: bool = True) -> None:
+    """Save an array pytree with orbax (async unless wait=False is overridden).
+
+    `tree` must contain only arrays (e.g. {"params": ..., "opt_state": ...,
+    "step": jnp scalar}); python scalars/strings should ride in a sidecar
+    json (orbax StandardCheckpointer handles array pytrees)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), tree, force=True)
+    if wait:
+        ckptr.wait_until_finished()
+
+
+def load_checkpoint_orbax(path: str, like: Any = None) -> Any:
+    """Restore an orbax checkpoint; `like` (an abstract/concrete pytree of the
+    same structure) restores with matching shardings/dtypes when given."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    if like is not None:
+        return ckptr.restore(os.path.abspath(path), like)
+    return ckptr.restore(os.path.abspath(path))

@@ -70,3 +70,21 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
         loaded["opt_state"]["embedding"]["table"], np.ones((8, 4))
     )
     assert loaded["step"] == 42 and loaded["extra"]["note"] == "x"
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from nasrec_tpu.train.checkpoint import (
+        load_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+
+    tree = {"params": {"w": jnp.arange(6.0).reshape(2, 3)},
+            "step": jnp.asarray(7, jnp.int32)}
+    path = str(tmp_path / "ckpt")
+    save_checkpoint_orbax(path, tree)
+    loaded = load_checkpoint_orbax(path, tree)
+    np.testing.assert_array_equal(np.asarray(loaded["params"]["w"]),
+                                  np.arange(6.0).reshape(2, 3))
+    assert int(loaded["step"]) == 7
