@@ -34,6 +34,8 @@ def build_parser():
     p.add_argument("--checkpoint_path", default=None, help="resume checkpoint")
     p.add_argument("--evo_2shot_path_candidates", default=None,
                    help="pickle with candidate choices for evo-2shot-path")
+    p.add_argument("--pretrained_emb_path", default=None,
+                   help="seed the embedding table from a donor checkpoint")
     return p
 
 
@@ -48,6 +50,7 @@ def main(argv=None):
         supernet_training_steps=args.supernet_training_steps,
         checkpoint_path=args.checkpoint_path,
         evo_2shot_candidates_path=args.evo_2shot_path_candidates,
+        pretrained_emb_path=args.pretrained_emb_path,
     )
     return train_supernet(sn, data_options(args), train_options(args))
 

@@ -309,6 +309,10 @@ class SupernetOptions:
     # Candidate list for 'evo-2shot-path' (completes the reference's
     # unfinished --evo_2shot_path_candidates flag, ref: train_supernet.py:305).
     evo_2shot_candidates_path: Optional[str] = None
+    # Seed the embedding table from a donor checkpoint (completes the
+    # reference's unwired --pretrained_dlrm_emb_path, ref: train_supernet.py:413,
+    # supernet.py:368-383).
+    pretrained_emb_path: Optional[str] = None
     # Supernet eval: "full-path" (stable; every node active) or "sampled"
     # (reference behavior — the eval forward samples a random subnet per
     # batch, ref: train_utils.py:144-147 via SuperNet.forward sampling).
@@ -330,6 +334,11 @@ def train_supernet(
         use_layernorm=sn.use_layernorm, activation=train.activation,
     )
     params = supernet_init(jax.random.PRNGKey(train.seed), cfg)
+    if sn.pretrained_emb_path:
+        from nasrec_tpu.models.embedding import load_embedding_from_checkpoint
+
+        params = load_embedding_from_checkpoint(params, sn.pretrained_emb_path)
+        log_fn(f"seeded embedding table from {sn.pretrained_emb_path}")
 
     steps_per_epoch = _train_steps_per_epoch(data, train)
     num_train_steps = steps_per_epoch * train.num_epochs

@@ -191,3 +191,16 @@ def test_train_supernet_sampled_eval_path():
     out = train_supernet(sn, _data(), _train(None, steps=8), log_fn=lambda s: None)
     logs = out["logs"][0]
     assert logs["test_loss"] and np.isfinite(logs["test_loss"][-1])
+
+
+def test_supernet_pretrained_embedding_seed(tmp_path):
+    # Train once to produce a donor checkpoint, then seed a fresh supernet
+    # from it (completes the reference's unwired --pretrained_dlrm_emb_path).
+    sn = SupernetOptions(config="autoctr", num_blocks=2, supernet_training_steps=0)
+    out1 = train_supernet(sn, _data(), _train(tmp_path, steps=5), log_fn=lambda s: None)
+    donor = str(tmp_path / "supernet_checkpoint.pkl")
+    sn2 = SupernetOptions(config="autoctr", num_blocks=2,
+                          supernet_training_steps=0, pretrained_emb_path=donor)
+    msgs = []
+    train_supernet(sn2, _data(), _train(None, steps=2), log_fn=msgs.append)
+    assert any("seeded embedding table" in m for m in msgs)
