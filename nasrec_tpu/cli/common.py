@@ -46,6 +46,19 @@ def add_train_args(p: argparse.ArgumentParser, lr=0.16):
     p.add_argument("--report_flops", type=int, default=0)
     p.add_argument("--profile_dir", default=None,
                    help="capture a jax.profiler trace into this dir")
+    p.add_argument("--mesh_model", type=int, default=0,
+                   help=">0: shard over a (data, model) mesh of all visible "
+                        "devices with this model-axis size (row-sharded "
+                        "embedding tables, data-parallel batch)")
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="bfloat16 runs the model body in bf16 (AMP parity, "
+                        "ref: main_train.py:210)")
+    p.add_argument("--place_embedding_on_cpu", type=int, default=0,
+                   help="keep the embedding table + its optimizer state in "
+                        "host RAM (ref: supernet.py:253-254)")
+    p.add_argument("--use_final_sigmoid", type=int, default=0,
+                   help="apply sigmoid to the model output (ref: supernet.py:284-287)")
 
 
 def data_options(args) -> DataOptions:
@@ -69,6 +82,7 @@ def train_options(args) -> TrainOptions:
         lr_schedule=args.lr_schedule,
         num_epochs=args.num_epochs,
         train_limit=args.train_limit,
+        test_limit=args.test_limit,
         display_interval=args.display_interval,
         test_interval=args.test_interval,
         max_train_steps=args.max_train_steps,
@@ -80,4 +94,7 @@ def train_options(args) -> TrainOptions:
         logging_dir=args.logging_dir,
         report_flops=args.report_flops == 1,
         profile_dir=args.profile_dir,
+        mesh_model=args.mesh_model,
+        compute_dtype=args.compute_dtype,
+        place_embedding_on_cpu=args.place_embedding_on_cpu == 1,
     )

@@ -60,7 +60,8 @@ def main(argv=None):
         raise SystemExit("--supernet_config or --arch is required for supernet-config")
 
     return train_fixed_subnet(
-        payload, data, train, use_layernorm=args.use_layernorm == 1
+        payload, data, train, use_layernorm=args.use_layernorm == 1,
+        use_final_sigmoid=args.use_final_sigmoid == 1,
     )
 
 

@@ -51,6 +51,7 @@ def main(argv=None):
         checkpoint_path=args.checkpoint_path,
         evo_2shot_candidates_path=args.evo_2shot_path_candidates,
         pretrained_emb_path=args.pretrained_emb_path,
+        use_final_sigmoid=args.use_final_sigmoid == 1,
     )
     return train_supernet(sn, data_options(args), train_options(args))
 

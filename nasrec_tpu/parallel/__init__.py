@@ -8,3 +8,4 @@ from nasrec_tpu.parallel.train import (
     make_parallel_train_step,
     shard_train_state,
 )
+from nasrec_tpu.parallel.sparse import make_parallel_sparse_train_step

@@ -59,41 +59,49 @@ class HostEmbedding:
 
 
 def make_host_offload_train_step(
-    apply_embedded: Callable,   # (params_no_emb, dense, stem, y?) -> logits
+    apply_embedded: Callable,   # (params_no_emb, dense, stem[, masks]) -> logits
     optimizer: Optimizer,
     lr_schedule: Callable,
     host_emb: HostEmbedding,
     *,
     grad_clip: float | None = 5.0,
+    has_masks: bool = False,
 ):
-    """Returns step(state, dense, cat, y) advancing both device params and the
-    host table.  `apply_embedded(params, dense, stem)` must treat `stem` as
-    the [B,S,E] embedding output (models' apply with a precomputed stem)."""
+    """Returns step(state, dense, cat, y[, masks]) advancing both device params
+    and the host table.  `apply_embedded(params, dense, stem)` must treat
+    `stem` as the [B,S,E] embedding output (models' apply with a precomputed
+    stem)."""
 
     @jax.jit
-    def device_grads(params, dense, stem, y):
+    def device_grads(params, dense, stem, y, masks=None):
         def loss_fn(p, s):
-            logits = apply_embedded(p, dense, s)
-            return bce_with_logits(logits, y)
+            logits = (
+                apply_embedded(p, dense, s, masks)
+                if has_masks
+                else apply_embedded(p, dense, s)
+            )
+            return bce_with_logits(logits, y), logits
 
-        (loss, (gp, gs)) = (
-            loss_fn(params, stem),
-            jax.grad(loss_fn, argnums=(0, 1))(params, stem),
-        )
+        (loss, logits), (gp, gs) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(params, stem)
         sq = sum(
             jnp.sum(jnp.square(l.astype(jnp.float32)))
             for l in jax.tree_util.tree_leaves(gp)
         )
-        return loss, gp, gs, sq
+        return loss, logits, gp, gs, sq
 
     @jax.jit
     def device_update(params, opt_state, grads, scale, lr):
         grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
         return optimizer.update(params, opt_state, grads, lr)
 
-    def step(state: TrainState, dense, cat, y):
+    def step(state: TrainState, dense, cat, y, masks=None):
+        cat = np.asarray(cat)
         stem = jnp.asarray(host_emb.lookup(cat))
-        loss, gp, gs, sq_dense = device_grads(state.params, dense, stem, y)
+        loss, logits, gp, gs, sq_dense = device_grads(
+            state.params, dense, stem, y, masks
+        )
         rows, row_grads, sq_emb = host_emb.grad_rows(cat, jax.device_get(gs))
         if grad_clip is not None:
             total_norm = float(np.sqrt(float(sq_dense) + sq_emb))
@@ -107,7 +115,7 @@ def make_host_offload_train_step(
         host_emb.apply_grad(rows, row_grads, lr, scale)
         return (
             TrainState(new_params, new_opt, state.step + 1),
-            {"loss": loss, "lr": lr},
+            {"loss": loss, "l2": jnp.zeros(()), "lr": lr, "logits": logits},
         )
 
     return step

@@ -1,0 +1,158 @@
+"""Sparse (touched-rows-only) embedding updates under (data, model) sharding.
+
+Combines the two speed claims of this repo into one step:
+  - the table is row-sharded over `model` (parallel/embedding.py), and
+  - the adagrad table update touches only the rows in the batch
+    (train/sparse_embedding.py) — HBM traffic is O(batch * slots), not
+    O(table), on every shard.
+
+Data flow per step (shard_map over the full mesh):
+  1. forward: masked-gather + psum lookup (shard-local table access)
+  2. autodiff w.r.t. the looked-up stem, not the table
+  3. update shard_map:
+       idx, d_stem  --all_gather over "data"-->  full-batch rows/grads
+       sort + segment-sum (exact torch-adagrad semantics: duplicates summed
+       BEFORE squaring), global-norm clip folded in
+       each `model` shard scatter-updates only the rows it owns
+     The all_gather moves O(batch*slots*emb) bytes over ICI — the same order
+     as the forward psum — and the table/accumulator traffic stays
+     O(touched rows) per shard.
+
+The reference has no distributed analogue (SURVEY.md §2.9); this is the
+BASELINE north-star path (config #5: multi-host Criteo full-embedding train
+with sharded tables).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from nasrec_tpu.parallel.embedding import _lookup_shard
+from nasrec_tpu.train.loop import TrainState
+from nasrec_tpu.train.metrics import bce_with_logits
+from nasrec_tpu.train.optim import Optimizer, l2_penalty
+from nasrec_tpu.train.sparse_embedding import (
+    rowwise_segment_sum,
+    sparse_adagrad_table_update,
+)
+
+
+def make_parallel_sparse_train_step(
+    apply_embedded: Callable,   # (params_rest, dense, stem[, masks]) -> logits
+    optimizer: Optimizer,       # for all non-embedding params
+    lr_schedule: Callable,
+    mesh: Mesh,
+    offsets: np.ndarray,        # [S] per-slot row offsets (static)
+    *,
+    grad_clip: Optional[float] = 5.0,
+    adagrad_eps: float = 1e-2,
+    l2_reg: float = 0.0,        # non-embedding params only
+    l2_exclude: Optional[str] = None,
+    has_masks: bool = False,
+    donate: bool = True,
+):
+    """jitted step(state, dense, cat, y[, masks]) with the table and its
+    adagrad accumulator sharded P("model", None) and the batch P("data")."""
+    offsets = np.asarray(offsets, np.int32)
+
+    lookup = shard_map(
+        _lookup_shard,
+        mesh=mesh,
+        in_specs=(P("model", None), P("data", None)),
+        out_specs=P("data", None, None),
+    )
+
+    def _update_shard(table_local, acc_local, idx_local, g_local, sq_rest, lr):
+        """Per-(data, model)-shard body: aggregate the global batch's
+        embedding grads, clip, scatter-update owned rows."""
+        idx_g = jax.lax.all_gather(idx_local.reshape(-1), "data", tiled=True)
+        g_g = jax.lax.all_gather(
+            g_local.reshape(-1, g_local.shape[-1]), "data", tiled=True
+        )
+        rows, seg, is_end = rowwise_segment_sum(idx_g, g_g)
+        sq_emb = jnp.sum(jnp.square(seg))
+        if grad_clip is not None:
+            norm = jnp.sqrt(sq_rest + sq_emb)
+            scale = jnp.minimum(1.0, grad_clip / (norm + 1e-6))
+        else:
+            scale = jnp.float32(1.0)
+        rows_local = table_local.shape[0]
+        shard = jax.lax.axis_index("model")
+        local = rows - shard * rows_local
+        owned = (local >= 0) & (local < rows_local)
+        safe = jnp.clip(local, 0, rows_local - 1)
+        new_table, new_acc = sparse_adagrad_table_update(
+            table_local, acc_local, safe, seg, lr, adagrad_eps, scale,
+            is_end & owned,
+        )
+        return new_table, new_acc, scale
+
+    update = shard_map(
+        _update_shard,
+        mesh=mesh,
+        in_specs=(
+            P("model", None), P("model", None),
+            P("data", None), P("data", None, None), P(), P(),
+        ),
+        out_specs=(P("model", None), P("model", None), P()),
+        check_vma=False,  # scale is replicated by construction (same math on
+                          # identical all_gathered inputs on every shard)
+    )
+
+    def step_fn(state: TrainState, dense, cat, y, masks=None):
+        params = state.params
+        table = params["embedding"]["table"]
+        rest = {k: v for k, v in params.items() if k != "embedding"}
+        idx = cat + jnp.asarray(offsets)[None, :]
+        stem = lookup(table, idx)
+
+        def loss_fn(rest_p, stem_in):
+            logits = (
+                apply_embedded(rest_p, dense, stem_in, masks)
+                if has_masks
+                else apply_embedded(rest_p, dense, stem_in)
+            )
+            bce = bce_with_logits(logits, y)
+            l2 = l2_penalty(rest_p, l2_reg, l2_exclude)
+            return bce + l2, (bce, logits)
+
+        (loss, (bce, logits)), (g_rest, g_stem) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(rest, stem)
+
+        sq_rest = sum(
+            jnp.sum(jnp.square(l.astype(jnp.float32)))
+            for l in jax.tree_util.tree_leaves(g_rest)
+        ) if grad_clip is not None else jnp.float32(0.0)
+
+        lr = lr_schedule(state.step)
+        acc = state.opt_state["embedding"]["table"]
+        new_table, new_acc, scale = update(table, acc, idx, g_stem, sq_rest, lr)
+
+        g_rest = jax.tree_util.tree_map(lambda g: g * scale, g_rest)
+        opt_rest = {k: v for k, v in state.opt_state.items() if k != "embedding"}
+        new_rest, new_opt_rest = optimizer.update(rest, opt_rest, g_rest, lr)
+
+        new_params = dict(new_rest)
+        new_params["embedding"] = {**params["embedding"], "table": new_table}
+        new_opt = dict(new_opt_rest)
+        new_opt["embedding"] = {**state.opt_state["embedding"], "table": new_acc}
+        metrics = {"loss": bce, "l2": loss - bce, "lr": lr, "logits": logits}
+        return TrainState(new_params, new_opt, state.step + 1), metrics
+
+    batch_sharding = NamedSharding(mesh, P("data"))
+    if has_masks:
+        fn = lambda state, dense, cat, y, masks: step_fn(state, dense, cat, y, masks)
+        in_shardings = (None, batch_sharding, batch_sharding, batch_sharding, None)
+    else:
+        fn = lambda state, dense, cat, y: step_fn(state, dense, cat, y)
+        in_shardings = (None, batch_sharding, batch_sharding, batch_sharding)
+    return jax.jit(
+        fn, in_shardings=in_shardings, donate_argnums=(0,) if donate else ()
+    )

@@ -77,14 +77,17 @@ def make_parallel_train_step(
             )
             bce = bce_with_logits(logits, y)
             l2 = l2_penalty(params, l2_reg, l2_exclude)
-            return bce + l2, bce
+            return bce + l2, (bce, l2, logits)
 
-        (_, bce), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (_, (bce, l2, logits)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
         if grad_clip is not None:
             grads = clip_by_global_norm(grads, grad_clip)
         lr = lr_schedule(state.step)
         new_params, new_opt = optimizer.update(state.params, state.opt_state, grads, lr)
-        return TrainState(new_params, new_opt, state.step + 1), {"loss": bce, "lr": lr}
+        metrics = {"loss": bce, "l2": l2, "lr": lr, "logits": logits}
+        return TrainState(new_params, new_opt, state.step + 1), metrics
 
     if has_masks:
         fn = lambda state, dense, cat, y, masks: step_fn(state, dense, cat, y, masks)

@@ -28,6 +28,19 @@ def count_flops(fn: Callable, *args) -> float:
     return float(cost.get("flops", 0.0))
 
 
+def cost_analysis_of(jitted_fn, *args) -> dict:
+    """{"flops": N, "bytes_accessed": N} for one call of an already-jitted
+    function (XLA's own cost model of the compiled executable).  Values are
+    0.0 when the backend does not report them."""
+    cost = jitted_fn.lower(*args).compile().cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    return {
+        "flops": float(cost.get("flops", 0.0) or 0.0),
+        "bytes_accessed": float(cost.get("bytes accessed", 0.0) or 0.0),
+    }
+
+
 def measure_latency(
     fn: Callable,
     args: Tuple,

@@ -58,21 +58,25 @@ def freeze_mask(params, mode: str):
       layernorm-calibrate  only LN scales/biases inside blocks
     """
 
-    def path_str(path):
-        return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+    def path_keys(path):
+        return [str(getattr(k, "key", getattr(k, "idx", k))) for k in path]
 
     def decide(path, leaf):
-        s = path_str(path)
+        keys = path_keys(path)
         if mode == "normal":
             keep = True
         elif mode == "final-only":
-            keep = s.startswith("final")
+            keep = keys[0] == "final"
         elif mode == "no-embedding":
-            keep = not s.startswith("embedding")
+            keep = keys[0] != "embedding"
         elif mode == "layernorm-calibrate":
-            keep = s.startswith("blocks") and (
-                "/ln/" in s or s.endswith("scale") or s.endswith("bias")
-            ) and "linear" not in s
+            # Structural: a LayerNorm param is any leaf held by a dict whose
+            # key is "ln" or ends in "_ln" (ops/common.ln_init callers); the
+            # exact trainable leaf set is pinned by
+            # tests/test_train.py::test_freeze_mask_layernorm_calibrate_leaf_set.
+            keep = keys[0] == "blocks" and any(
+                k == "ln" or k.endswith("_ln") for k in keys[:-1]
+            )
         else:
             raise ValueError(f"unknown freeze mode {mode}")
         return jnp.ones_like(leaf) if keep else jnp.zeros_like(leaf)

@@ -37,9 +37,9 @@ from nasrec_tpu.train.optim import Optimizer
 def rowwise_segment_sum(rows: jnp.ndarray, g: jnp.ndarray):
     """Aggregate gradient contributions of duplicate rows (static shapes).
 
-    rows: [N] int32, g: [N, E].  Returns (sorted_rows [N], seg [N, E]) where
-    seg is the full per-row sum at each segment's LAST position and exactly
-    zero elsewhere.
+    rows: [N] int32, g: [N, E].  Returns (sorted_rows [N], seg [N, E],
+    is_end [N] bool) where seg is the full per-row sum at each segment's LAST
+    position and exactly zero elsewhere; is_end marks those last positions.
     """
     order = jnp.argsort(rows)
     r = rows[order]
@@ -56,7 +56,7 @@ def rowwise_segment_sum(rows: jnp.ndarray, g: jnp.ndarray):
         (prev_end >= 0)[:, None], jnp.take(cs, jnp.maximum(prev_end, 0), axis=0), 0.0
     )
     seg = jnp.where(is_end[:, None], cs - base, 0.0)
-    return r, seg
+    return r, seg, is_end
 
 
 def sparse_adagrad_table_update(
@@ -67,13 +67,25 @@ def sparse_adagrad_table_update(
     lr,
     eps: float = 1e-2,
     scale=1.0,
+    is_end: jnp.ndarray = None,  # [N] bool segment-end marks
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     seg = seg * scale
     acc_rows = jnp.take(acc, rows, axis=0)
     sq = jnp.square(seg)
-    new_acc = acc.at[rows].add(sq)
-    delta = -lr * seg / (jnp.sqrt(acc_rows + sq) + eps)
-    new_table = table.at[rows].add(delta)
+    if is_end is not None:
+        # Only segment-end positions carry a nonzero contribution; route the
+        # rest out-of-bounds so mode="drop" skips them and the remaining
+        # indices are unique — XLA then emits a parallel scatter instead of
+        # the serialized duplicate-handling one (the difference between
+        # ~100 ms and ~10 ms at 851k rows on v5e).
+        tgt = jnp.where(is_end, rows, table.shape[0])
+        new_acc = acc.at[tgt].add(sq, mode="drop", unique_indices=True)
+        delta = -lr * seg / (jnp.sqrt(acc_rows + sq) + eps)
+        new_table = table.at[tgt].add(delta, mode="drop", unique_indices=True)
+    else:
+        new_acc = acc.at[rows].add(sq)
+        delta = -lr * seg / (jnp.sqrt(acc_rows + sq) + eps)
+        new_table = table.at[rows].add(delta)
     return new_table, new_acc
 
 
@@ -126,7 +138,7 @@ def make_sparse_embedding_train_step(
         (loss, (bce, logits)), (g_rest, g_stem) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
         )(rest, stem)
-        rows, seg = rowwise_segment_sum(idx, g_stem.reshape(-1, stem.shape[-1]))
+        rows, seg, is_end = rowwise_segment_sum(idx, g_stem.reshape(-1, stem.shape[-1]))
 
         if grad_clip is not None:
             sq_rest = sum(
@@ -146,7 +158,7 @@ def make_sparse_embedding_train_step(
 
         acc = state.opt_state["embedding"]["table"]
         new_table, new_acc = sparse_adagrad_table_update(
-            table, acc, rows, seg, lr, adagrad_eps, scale
+            table, acc, rows, seg, lr, adagrad_eps, scale, is_end
         )
 
         new_params = dict(new_rest)

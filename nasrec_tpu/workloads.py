@@ -19,6 +19,7 @@ import pickle
 import time
 from typing import Any, Callable, Dict, List, Optional
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -74,6 +75,10 @@ class TrainOptions:
     lr_schedule: str = "cosine"
     num_epochs: int = 1
     train_limit: int = -1             # -1: dataset trainval size
+    # Cap on eval EXAMPLES per test pass (ref parses --test_limit on every
+    # entry point, main_train.py:366-371, but never consumes it; here it is
+    # wired: eval stops after ceil(test_limit / test_batch_size) batches).
+    test_limit: int = -1
     display_interval: int = 100
     test_interval: int = 2000
     max_train_steps: int = -1
@@ -90,12 +95,62 @@ class TrainOptions:
     # adagrad with wd=0 — HBM traffic drops from O(table) to O(batch*slots),
     # which is the difference between 0.9ms and 16ms/step at full Criteo vocab.
     sparse_embedding: Any = "auto"     # "auto" | True | False
+    # Multi-chip SPMD: >0 builds a ("data", "model") mesh over all visible
+    # devices with this model-axis size (data fills the rest).  Embedding
+    # tables are row-sharded over `model`, the batch over `data`; the table
+    # update stays touched-rows-only (parallel/sparse.py).  This is the
+    # flagship multi-chip entry (replaces ref: main_train.py:275-287 as the
+    # top-level training path; the reference is single-GPU only).
+    mesh_model: int = 0
+    # "bfloat16" runs the model body in bf16 (embedding + logits stay f32) —
+    # the TPU stand-in for the reference's --use_amp (ref: main_train.py:210).
+    compute_dtype: str = "float32"
+    # Keep the fused table + its adagrad state in host RAM; the device step
+    # exchanges only the [B,S,E] stem and its gradient per step
+    # (ref: place_embedding_on_cpu, supernet.py:253-254, :826-840).
+    place_embedding_on_cpu: bool = False
 
 
 def _use_sparse_embedding(train: "TrainOptions") -> bool:
     if isinstance(train.sparse_embedding, bool):
         return train.sparse_embedding
     return train.optimizer == "adagrad" and train.wd == 0.0
+
+
+def _unpad_params(params, vocab):
+    """Drop sharding-pad rows from a fetched param tree (checkpoint parity:
+    saved tables always have exactly sum(vocab) rows)."""
+    total = int(sum(vocab))
+    emb = params.get("embedding") if isinstance(params, dict) else None
+    if emb and "table" in emb and emb["table"].shape[0] != total:
+        params = dict(params)
+        params["embedding"] = {**emb, "table": emb["table"][:total]}
+    return params
+
+
+def _shard_state_for_mesh(params, opt, mesh_model: int, start_step: int = 0,
+                          opt_state=None):
+    """Pad the fused table, build the mesh, place a sharded TrainState."""
+    from nasrec_tpu.parallel import (
+        make_mesh,
+        pad_table_for_sharding,
+        shard_train_state,
+    )
+
+    mesh = make_mesh(model=mesh_model)
+    params = dict(params)
+    params["embedding"] = pad_table_for_sharding(params["embedding"], mesh_model)
+    state = init_train_state(params, opt)
+    if opt_state is not None:
+        opt_state = jax.tree_util.tree_map(jnp.asarray, opt_state)
+        if isinstance(opt_state, dict) and "embedding" in opt_state:
+            opt_state = dict(opt_state)
+            opt_state["embedding"] = pad_table_for_sharding(
+                opt_state["embedding"], mesh_model
+            )
+        state = dataclasses.replace(state, opt_state=opt_state)
+    state = dataclasses.replace(state, step=jnp.asarray(start_step, jnp.int32))
+    return mesh, shard_train_state(state, mesh)
 
 
 def _spec_and_vocab(data: DataOptions):
@@ -135,6 +190,20 @@ def _make_iterators(data: DataOptions):
         host_id=data.host_id,
         num_hosts=data.num_hosts,
     )
+
+
+def _max_eval_steps(data: DataOptions, train: TrainOptions) -> int:
+    """Eval batch cap: explicit max_eval_steps wins; else derive from the
+    test_limit example cap."""
+    if train.max_eval_steps != -1:
+        return train.max_eval_steps
+    if train.test_limit != -1:
+        return max(-(-train.test_limit // data.test_batch_size), 1)
+    return -1
+
+
+def _compute_dtype(train: TrainOptions):
+    return jnp.bfloat16 if train.compute_dtype in ("bf16", "bfloat16") else jnp.float32
 
 
 def _train_steps_per_epoch(data: DataOptions, train: TrainOptions) -> int:
@@ -213,6 +282,7 @@ def train_fixed_subnet(
     data: DataOptions = DataOptions(),
     train: TrainOptions = TrainOptions(),
     use_layernorm: bool = False,   # reference trains best models without LN
+    use_final_sigmoid: bool = False,  # ref: supernet.py:284-287
     log_fn: Callable[[str], None] = print,
 ) -> Dict[str, Any]:
     """Train one fixed subnet from scratch (ref: main_train.py:77-221)."""
@@ -223,8 +293,10 @@ def train_fixed_subnet(
     plan = build_fixed_plan(
         choice, space, num_blocks, spec.num_dense, spec.num_sparse, vocab,
         use_layernorm=use_layernorm, activation=train.activation,
+        use_final_sigmoid=use_final_sigmoid,
     )
     params = fixed_init(jax.random.PRNGKey(train.seed), plan)
+    cdt = _compute_dtype(train)
 
     steps_per_epoch = _train_steps_per_epoch(data, train)
     num_train_steps = steps_per_epoch * train.num_epochs
@@ -233,26 +305,84 @@ def train_fixed_subnet(
         train.lr_schedule, train.learning_rate, num_train_steps, num_warmup
     )
     opt = make_optimizer(train.optimizer)
-    state = init_train_state(params, opt)
-    if _use_sparse_embedding(train):
+    if train.mesh_model > 0:
         from nasrec_tpu.models.embedding import table_offsets
         from nasrec_tpu.models.fixed import fixed_apply_embedded
-        from nasrec_tpu.train.sparse_embedding import make_sparse_embedding_train_step
+        from nasrec_tpu.parallel import (
+            make_parallel_sparse_train_step,
+            make_parallel_train_step,
+            make_sharded_stem_lookup,
+        )
 
-        step = make_sparse_embedding_train_step(
-            lambda p, d, s: fixed_apply_embedded(plan, p, d, s),
-            opt, sched, table_offsets(vocab),
-            grad_clip=train.grad_clip,
-            l2_reg=train.wd, l2_exclude=train.no_reg_param_name,
+        mesh, state = _shard_state_for_mesh(params, opt, train.mesh_model)
+        lookup = make_sharded_stem_lookup(mesh)
+        if _use_sparse_embedding(train):
+            step = make_parallel_sparse_train_step(
+                lambda p, d, s: fixed_apply_embedded(plan, p, d, s, compute_dtype=cdt),
+                opt, sched, mesh, table_offsets(vocab),
+                grad_clip=train.grad_clip,
+                l2_reg=train.wd, l2_exclude=train.no_reg_param_name,
+            )
+        else:
+            step = make_parallel_train_step(
+                lambda p, d, c: fixed_apply(
+                    plan, p, d, c, stem_lookup=lookup, compute_dtype=cdt
+                ),
+                opt, sched, mesh,
+                l2_reg=train.wd, l2_exclude=train.no_reg_param_name,
+                grad_clip=train.grad_clip,
+            )
+        eval_step = make_eval_step(
+            lambda p, d, c: fixed_apply(
+                plan, p, d, c, stem_lookup=lookup, compute_dtype=cdt
+            )
         )
+    elif train.place_embedding_on_cpu:
+        from nasrec_tpu.models.embedding import table_offsets
+        from nasrec_tpu.models.fixed import fixed_apply_embedded
+        from nasrec_tpu.parallel.host_embedding import (
+            HostEmbedding,
+            make_host_offload_train_step,
+        )
+
+        host_emb = HostEmbedding(
+            jax.device_get(params["embedding"]["table"]), table_offsets(vocab)
+        )
+        device_params = {k: v for k, v in params.items() if k != "embedding"}
+        state = init_train_state(device_params, opt)
+        step = make_host_offload_train_step(
+            lambda p, d, s: fixed_apply_embedded(plan, p, d, s, compute_dtype=cdt),
+            opt, sched, host_emb, grad_clip=train.grad_clip,
+        )
+        embedded_eval = make_eval_step(
+            lambda p, d, s: fixed_apply_embedded(plan, p, d, s, compute_dtype=cdt)
+        )
+
+        def eval_step(p, d, c):  # host lookup feeds the jitted embedded fwd
+            return embedded_eval(p, d, jnp.asarray(host_emb.lookup(np.asarray(c))))
     else:
-        step = make_train_step(
-            lambda p, d, c: fixed_apply(plan, p, d, c),
-            opt, sched,
-            l2_reg=train.wd, l2_exclude=train.no_reg_param_name,
-            grad_clip=train.grad_clip,
+        state = init_train_state(params, opt)
+        if _use_sparse_embedding(train):
+            from nasrec_tpu.models.embedding import table_offsets
+            from nasrec_tpu.models.fixed import fixed_apply_embedded
+            from nasrec_tpu.train.sparse_embedding import make_sparse_embedding_train_step
+
+            step = make_sparse_embedding_train_step(
+                lambda p, d, s: fixed_apply_embedded(plan, p, d, s, compute_dtype=cdt),
+                opt, sched, table_offsets(vocab),
+                grad_clip=train.grad_clip,
+                l2_reg=train.wd, l2_exclude=train.no_reg_param_name,
+            )
+        else:
+            step = make_train_step(
+                lambda p, d, c: fixed_apply(plan, p, d, c, compute_dtype=cdt),
+                opt, sched,
+                l2_reg=train.wd, l2_exclude=train.no_reg_param_name,
+                grad_clip=train.grad_clip,
+            )
+        eval_step = make_eval_step(
+            lambda p, d, c: fixed_apply(plan, p, d, c, compute_dtype=cdt)
         )
-    eval_step = make_eval_step(lambda p, d, c: fixed_apply(plan, p, d, c))
     train_iter_fn, test_iter_fn = _make_iterators(data)
 
     if train.report_flops:
@@ -273,7 +403,7 @@ def train_fixed_subnet(
                 display_interval=train.display_interval,
                 test_interval=train.test_interval,
                 max_train_steps=steps_per_epoch,
-                max_eval_steps=train.max_eval_steps,
+                max_eval_steps=_max_eval_steps(data, train),
                 test_only_at_last_step=train.test_only_at_last_step,
                 log_fn=log_fn,
                 metrics_writer=writer,
@@ -283,11 +413,15 @@ def train_fixed_subnet(
                 best = best_ep
     writer.close()
 
+    saved_params = _unpad_params(jax.device_get(state.params), vocab)
+    if train.place_embedding_on_cpu:
+        saved_params = dict(saved_params)
+        saved_params["embedding"] = {"table": host_emb.table}
     _dump_logs(
         train.logging_dir, epoch_logs,
         {"choice": choice_payload, "data": dataclasses.asdict(data),
          "train": dataclasses.asdict(train)},
-        ckpt_payload={"params": jax.device_get(state.params), "step": int(state.step)},
+        ckpt_payload={"params": saved_params, "step": int(state.step)},
     )
     return {"state": state, "logs": epoch_logs, "best_params": best, "plan": plan}
 
@@ -317,6 +451,8 @@ class SupernetOptions:
     # (reference behavior — the eval forward samples a random subnet per
     # batch, ref: train_utils.py:144-147 via SuperNet.forward sampling).
     eval_path: str = "full-path"
+    # Apply sigmoid to the final output (ref: supernet.py:284-287).
+    use_final_sigmoid: bool = False
 
 
 def train_supernet(
@@ -332,8 +468,10 @@ def train_supernet(
         space=space, num_blocks=sn.num_blocks, num_dense=spec.num_dense,
         num_sparse=spec.num_sparse, vocab_sizes=vocab,
         use_layernorm=sn.use_layernorm, activation=train.activation,
+        use_final_sigmoid=sn.use_final_sigmoid,
     )
     params = supernet_init(jax.random.PRNGKey(train.seed), cfg)
+    cdt = _compute_dtype(train)
     if sn.pretrained_emb_path:
         from nasrec_tpu.models.embedding import load_embedding_from_checkpoint
 
@@ -347,44 +485,103 @@ def train_supernet(
         train.lr_schedule, train.learning_rate, num_train_steps, num_warmup
     )
     opt = make_optimizer(train.optimizer)
-    state = init_train_state(params, opt)
     start_step = 0
+    resume_opt_state = None
     if sn.checkpoint_path:
         ckpt = load_checkpoint(sn.checkpoint_path)
-        state = init_train_state(
-            jax.tree_util.tree_map(jnp.asarray, ckpt["params"]), opt
-        )
-        if "opt_state" in ckpt:
-            state = dataclasses.replace(
-                state,
-                opt_state=jax.tree_util.tree_map(jnp.asarray, ckpt["opt_state"]),
-            )
+        params = jax.tree_util.tree_map(jnp.asarray, ckpt["params"])
+        resume_opt_state = ckpt.get("opt_state")
         start_step = int(ckpt.get("step", 0))
-        state = dataclasses.replace(state, step=jnp.asarray(start_step, jnp.int32))
         log_fn(f"resumed from {sn.checkpoint_path} at step {start_step}")
 
-    if _use_sparse_embedding(train):
+    if train.mesh_model > 0:
         from nasrec_tpu.models.embedding import table_offsets
         from nasrec_tpu.models.supernet import supernet_apply_embedded
-        from nasrec_tpu.train.sparse_embedding import make_sparse_embedding_train_step
+        from nasrec_tpu.parallel import (
+            make_parallel_sparse_train_step,
+            make_parallel_train_step,
+            make_sharded_stem_lookup,
+        )
 
-        step = make_sparse_embedding_train_step(
-            lambda p, d, s, m: supernet_apply_embedded(cfg, p, d, s, m),
-            opt, sched, table_offsets(vocab),
-            grad_clip=train.grad_clip,
-            l2_reg=train.wd, l2_exclude=train.no_reg_param_name,
+        mesh, state = _shard_state_for_mesh(
+            params, opt, train.mesh_model, start_step, resume_opt_state
+        )
+        lookup = make_sharded_stem_lookup(mesh)
+        if _use_sparse_embedding(train):
+            step = make_parallel_sparse_train_step(
+                lambda p, d, s, m: supernet_apply_embedded(cfg, p, d, s, m, compute_dtype=cdt),
+                opt, sched, mesh, table_offsets(vocab),
+                grad_clip=train.grad_clip,
+                l2_reg=train.wd, l2_exclude=train.no_reg_param_name,
+                has_masks=True,
+            )
+        else:
+            step = make_parallel_train_step(
+                lambda p, d, c, m: supernet_apply(cfg, p, d, c, m, stem_lookup=lookup, compute_dtype=cdt),
+                opt, sched, mesh,
+                l2_reg=train.wd, l2_exclude=train.no_reg_param_name,
+                grad_clip=train.grad_clip, has_masks=True,
+            )
+        eval_step = make_eval_step(
+            lambda p, d, c, m: supernet_apply(cfg, p, d, c, m, stem_lookup=lookup, compute_dtype=cdt),
             has_masks=True,
         )
-    else:
-        step = make_train_step(
-            lambda p, d, c, m: supernet_apply(cfg, p, d, c, m),
-            opt, sched,
-            l2_reg=train.wd, l2_exclude=train.no_reg_param_name,
-            grad_clip=train.grad_clip, has_masks=True,
+    elif train.place_embedding_on_cpu:
+        from nasrec_tpu.models.embedding import table_offsets
+        from nasrec_tpu.models.supernet import supernet_apply_embedded
+        from nasrec_tpu.parallel.host_embedding import (
+            HostEmbedding,
+            make_host_offload_train_step,
         )
-    eval_step = make_eval_step(
-        lambda p, d, c, m: supernet_apply(cfg, p, d, c, m), has_masks=True
-    )
+
+        host_emb = HostEmbedding(
+            jax.device_get(params["embedding"]["table"]), table_offsets(vocab)
+        )
+        device_params = {k: v for k, v in params.items() if k != "embedding"}
+        state = init_train_state(device_params, opt)
+        state = dataclasses.replace(state, step=jnp.asarray(start_step, jnp.int32))
+        step = make_host_offload_train_step(
+            lambda p, d, s, m: supernet_apply_embedded(cfg, p, d, s, m, compute_dtype=cdt),
+            opt, sched, host_emb, grad_clip=train.grad_clip, has_masks=True,
+        )
+        embedded_eval = make_eval_step(
+            lambda p, d, s, m: supernet_apply_embedded(cfg, p, d, s, m, compute_dtype=cdt),
+            has_masks=True,
+        )
+
+        def eval_step(p, d, c, m):  # host lookup feeds the jitted embedded fwd
+            return embedded_eval(p, d, jnp.asarray(host_emb.lookup(np.asarray(c))), m)
+    else:
+        state = init_train_state(params, opt)
+        if resume_opt_state is not None:
+            state = dataclasses.replace(
+                state,
+                opt_state=jax.tree_util.tree_map(jnp.asarray, resume_opt_state),
+            )
+        state = dataclasses.replace(state, step=jnp.asarray(start_step, jnp.int32))
+
+        if _use_sparse_embedding(train):
+            from nasrec_tpu.models.embedding import table_offsets
+            from nasrec_tpu.models.supernet import supernet_apply_embedded
+            from nasrec_tpu.train.sparse_embedding import make_sparse_embedding_train_step
+
+            step = make_sparse_embedding_train_step(
+                lambda p, d, s, m: supernet_apply_embedded(cfg, p, d, s, m, compute_dtype=cdt),
+                opt, sched, table_offsets(vocab),
+                grad_clip=train.grad_clip,
+                l2_reg=train.wd, l2_exclude=train.no_reg_param_name,
+                has_masks=True,
+            )
+        else:
+            step = make_train_step(
+                lambda p, d, c, m: supernet_apply(cfg, p, d, c, m, compute_dtype=cdt),
+                opt, sched,
+                l2_reg=train.wd, l2_exclude=train.no_reg_param_name,
+                grad_clip=train.grad_clip, has_masks=True,
+            )
+        eval_step = make_eval_step(
+            lambda p, d, c, m: supernet_apply(cfg, p, d, c, m, compute_dtype=cdt), has_masks=True
+        )
     candidates = None
     if sn.evo_2shot_candidates_path:
         with open(sn.evo_2shot_candidates_path, "rb") as f:
@@ -411,9 +608,17 @@ def train_supernet(
     from nasrec_tpu.train.logging import MetricsWriter
 
     writer = MetricsWriter(train.logging_dir)
-    from nasrec_tpu.sampling import DeviceMaskBuffer
+    if train.mesh_model > 0 or train.place_embedding_on_cpu:
+        # Mesh/offload mode: feed plain host masks; the device-resident
+        # buffer's (buffer, idx) tuple is a single-device dispatch
+        # optimization handled only by the fused single-chip steps.
+        mask_buffer = lambda: choice_to_masks(sampler(), space, sn.num_blocks)
+    else:
+        from nasrec_tpu.sampling import DeviceMaskBuffer
 
-    mask_buffer = DeviceMaskBuffer(sampler, size=min(256, max(steps_per_epoch, 1)))
+        mask_buffer = DeviceMaskBuffer(
+            sampler, size=min(256, max(steps_per_epoch, 1))
+        )
     epoch_logs = []
     for epoch in range(train.num_epochs):
         state, logs, _ = train_and_test_one_epoch(
@@ -424,7 +629,7 @@ def train_supernet(
             display_interval=train.display_interval,
             test_interval=train.test_interval,
             max_train_steps=steps_per_epoch,
-            max_eval_steps=train.max_eval_steps,
+            max_eval_steps=_max_eval_steps(data, train),
             test_only_at_last_step=train.test_only_at_last_step,
             keep_best=False,
             log_fn=log_fn,
@@ -433,9 +638,14 @@ def train_supernet(
         epoch_logs.append(logs)
     writer.close()
 
+    saved_params = _unpad_params(jax.device_get(state.params), vocab)
+    saved_opt = _unpad_params(jax.device_get(state.opt_state), vocab)
+    if train.place_embedding_on_cpu:
+        saved_params = {**saved_params, "embedding": {"table": host_emb.table}}
+        saved_opt = {**saved_opt, "embedding": {"table": host_emb.acc}}
     ckpt_payload = {
-        "params": jax.device_get(state.params),
-        "opt_state": jax.device_get(state.opt_state),
+        "params": saved_params,
+        "opt_state": saved_opt,
         "step": int(state.step),
         "supernet": dataclasses.asdict(sn),
     }

@@ -22,9 +22,13 @@ from nasrec_tpu.train.sparse_embedding import (
 def test_rowwise_segment_sum_aggregates_duplicates(rng):
     rows = jnp.asarray(np.array([3, 1, 3, 3, 0, 1], np.int32))
     g = jnp.asarray(rng.randn(6, 4).astype(np.float32))
-    r, seg = rowwise_segment_sum(rows, g)
+    r, seg, is_end = rowwise_segment_sum(rows, g)
     gn = np.asarray(g)
     want = {0: gn[4], 1: gn[1] + gn[5], 3: gn[0] + gn[2] + gn[3]}
+    # is_end marks exactly the nonzero (segment-final) positions
+    np.testing.assert_array_equal(
+        np.asarray(is_end), np.abs(np.asarray(seg)).sum(axis=1) > 0
+    )
     r, seg = np.asarray(r), np.asarray(seg)
     # scatter-add seg at r reproduces the dense per-row sums
     dense = np.zeros((4, 4), np.float32)

@@ -243,3 +243,36 @@ def test_finetune_final_only_keeps_other_params_fixed():
         before["embedding"]["table"], after["embedding"]["table"]
     )
     assert not np.array_equal(before["final"]["w"], after["final"]["w"])
+
+
+def test_freeze_mask_layernorm_calibrate_leaf_set():
+    """Pin the EXACT trainable leaf set for layernorm-calibrate mode
+    (VERDICT r1: replace string heuristics with a structural rule)."""
+    import jax
+    from nasrec_tpu.config import OPS_CONFIG_LIB
+    from nasrec_tpu.models import SuperNetConfig, supernet_init
+
+    cfg = SuperNetConfig(
+        space=OPS_CONFIG_LIB["autoctr"], num_blocks=2, num_dense=13,
+        num_sparse=26, vocab_sizes=tuple([50] * 26), use_layernorm=True,
+    )
+    params = supernet_init(jax.random.PRNGKey(0), cfg)
+    mask = freeze_mask(params, "layernorm-calibrate")
+    got = set()
+    for path, leaf in jax.tree_util.tree_flatten_with_path(mask)[0]:
+        s = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+        if float(np.asarray(leaf).ravel()[0]) == 1.0:
+            assert np.asarray(leaf).all(), s  # masks are all-or-nothing
+            got.add(s)
+    want = set()
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        keys = [str(getattr(k, "key", getattr(k, "idx", k))) for k in path]
+        if keys[0] == "blocks" and any(
+            k == "ln" or k.endswith("_ln") for k in keys[:-1]
+        ):
+            want.add("/".join(keys))
+    assert got == want
+    # sanity on the structural rule itself: LN leaves exist, and no linear
+    # weights or the embedding/final layers are trainable
+    assert any(s.endswith("ln/scale") for s in want)
+    assert not any("/w" in s or s.startswith(("embedding", "final")) for s in got)
