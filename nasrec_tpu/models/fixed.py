@@ -82,6 +82,8 @@ class FixedPlan:
     blocks: Tuple[BlockPlan, ...]
     head_width: int
     use_final_sigmoid: bool = False
+    # Head fan-in: outputs of the last n blocks (ref: supernet.py:226,657-660).
+    last_n_blocks_out: int = 1
     # See SuperNetConfig.remat_attention / attention_impl.
     remat_attention: bool = True
     attention_impl: str = "xla"
@@ -102,6 +104,7 @@ def build_fixed_plan(
     activation: str = "relu",
     use_final_sigmoid: bool = False,
     attention_impl: str = "xla",
+    last_n_blocks_out: int = 1,
 ) -> FixedPlan:
     validate_choice(choice, space, num_blocks)
     dense_w: List[int] = [num_dense]      # virtual-block dense widths
@@ -134,7 +137,19 @@ def build_fixed_plan(
         blocks.append(bp)
         dense_w.append(bp.dense_dim)
         sparse_s.append(bp.out_slots)
-    head_width = dense_w[-1] + sparse_s[-1] * emb_dim  # last_n_blocks_out == 1
+    # Head concats the last n dense outputs on the feature axis and the last
+    # n sparse outputs on the EMB axis (ref: supernet.py:657-660) — the
+    # latter requires equal slot counts across those blocks.
+    n = last_n_blocks_out
+    if n > 1:
+        tail_slots = sparse_s[-n:]
+        if len(set(tail_slots)) != 1:
+            raise ValueError(
+                f"last_n_blocks_out={n} needs equal sparse slot counts in the "
+                f"final {n} blocks (got {tail_slots}); the reference's "
+                f"torch.cat(dim=-1) has the same constraint"
+            )
+    head_width = sum(dense_w[-n:]) + sparse_s[-1] * emb_dim * n
     return FixedPlan(
         space=space,
         num_blocks=num_blocks,
@@ -148,6 +163,7 @@ def build_fixed_plan(
         head_width=head_width,
         use_final_sigmoid=use_final_sigmoid,
         attention_impl=attention_impl,
+        last_n_blocks_out=last_n_blocks_out,
     )
 
 
@@ -248,8 +264,13 @@ def fixed_apply(
         dense_list.append(dense_out)
         sparse_list.append(sparse_out)
 
-    flat_sparse = sparse_list[-1].reshape(sparse_list[-1].shape[0], -1)
-    feats = jnp.concatenate([dense_list[-1], flat_sparse], axis=-1)
+    n = plan.last_n_blocks_out
+    flat_dense = (
+        jnp.concatenate(dense_list[-n:], axis=-1) if n > 1 else dense_list[-1]
+    )
+    sp = jnp.concatenate(sparse_list[-n:], axis=-1) if n > 1 else sparse_list[-1]
+    flat_sparse = sp.reshape(sp.shape[0], -1)
+    feats = jnp.concatenate([flat_dense, flat_sparse], axis=-1)
     out = linear_apply(params["final"], feats).astype(jnp.float32)
     if plan.use_final_sigmoid:
         out = jax.nn.sigmoid(out)

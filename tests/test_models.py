@@ -284,3 +284,50 @@ def test_remat_blocks_equivalent(rng):
     gb = jax.grad(lambda p: jnp.sum(fixed_apply(plan_r, p, d, c)))(params)
     for x_, y_ in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
         np.testing.assert_allclose(np.asarray(x_), np.asarray(y_), rtol=1e-5, atol=1e-6)
+
+
+def test_fixed_last_n_blocks_out(rng):
+    """Fixed-mode head over the last n blocks (ref: supernet.py:226,657-660)."""
+    from nasrec_tpu.choices import full_path_choice
+
+    space = OPS_CONFIG_LIB["autoctr"]
+    choice = full_path_choice(space, 3)
+    plan1 = build_fixed_plan(choice, space, 3, 13, 26, tuple([50] * 26))
+    plan2 = build_fixed_plan(
+        choice, space, 3, 13, 26, tuple([50] * 26), last_n_blocks_out=2
+    )
+    params2 = fixed_init(jax.random.PRNGKey(0), plan2)
+    d = jnp.asarray(rng.randn(4, 13).astype(np.float32))
+    c = jnp.asarray(rng.randint(0, 50, size=(4, 26)).astype(np.int32))
+    out = fixed_apply(plan2, params2, d, c)
+    assert out.shape == (4, 1)
+    assert np.isfinite(np.asarray(out)).all()
+    # head fan-in covers two blocks of dense + two blocks of sparse
+    assert plan2.head_width > plan1.head_width
+    assert params2["final"]["w"].shape[0] == plan2.head_width
+    g = jax.grad(lambda p: jnp.sum(fixed_apply(plan2, p, d, c)))(params2)
+    assert np.isfinite(np.asarray(g["final"]["w"])).all()
+
+
+def test_fixed_last_n_blocks_out_rejects_unequal_slots():
+    """torch.cat(dim=-1) over unequal slot counts is impossible; the plan
+    builder must say so up front."""
+    from nasrec_tpu.search import Tokenizer
+
+    space = OPS_CONFIG_LIB["autoctr"]
+    tok = Tokenizer(3, space, seed=0)
+    for _ in range(50):
+        choice = tok.generate_random_choice()
+        # engineer unequal tail slots: vary sparse dims + interact bits
+        s1 = int(choice["micro"][1]["sparse_in_dims"])
+        s2 = int(choice["micro"][2]["sparse_in_dims"])
+        i1 = int(choice["micro"][1]["dense_sparse_interact"])
+        i2 = int(choice["micro"][2]["dense_sparse_interact"])
+        if s1 + 8 * i1 != s2 + 8 * i2:
+            break
+    else:
+        raise AssertionError("never sampled unequal tail slots")
+    with pytest.raises(ValueError, match="last_n_blocks_out"):
+        build_fixed_plan(
+            choice, space, 3, 13, 26, tuple([50] * 26), last_n_blocks_out=2
+        )

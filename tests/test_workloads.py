@@ -204,3 +204,42 @@ def test_supernet_pretrained_embedding_seed(tmp_path):
     msgs = []
     train_supernet(sn2, _data(), _train(None, steps=2), log_fn=msgs.append)
     assert any("seeded embedding table" in m for m in msgs)
+
+
+def test_eval_best_candidates_topk_launcher(tmp_path):
+    """The top-k launcher (SLURM generator re-imagined, ref:
+    eval_best_candidate_top15.py:52-148) runs exported EA configs."""
+    import importlib.util
+
+    from nasrec_tpu.search import Tokenizer
+    from nasrec_tpu.config import OPS_CONFIG_LIB
+    from nasrec_tpu.tools.export_ea_results import export_best
+
+    tok = Tokenizer(2, OPS_CONFIG_LIB["autoctr"], seed=0)
+    results = [
+        {"choice": tok.generate_random_choice(), "test_loss": 0.4 + 0.01 * i}
+        for i in range(2)
+    ]
+    ea_dir = tmp_path / "export"
+    export_best(results, str(ea_dir), "autoctr", 2, True, top_k=2,
+                log_fn=lambda s: None)
+
+    spec = importlib.util.spec_from_file_location(
+        "topk_launcher",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "eval_best_candidate", "eval_best_candidates_topk.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    ranked = mod.main([
+        "--ea_dir", str(ea_dir), "--dataset", "criteo-kaggle",
+        "--data_source", "synthetic", "--top_k", "2",
+        "--max_train_steps", "5", "--max_eval_steps", "2",
+        "--test_interval", "5",
+        "--train_batch_size", "64", "--test_batch_size", "128",
+        "--logging_root", str(tmp_path / "runs"),
+    ])
+    assert len(ranked) == 2
+    losses = [r["val_loss"] for r in ranked]
+    assert losses == sorted(losses) and all(np.isfinite(losses))
+    assert (tmp_path / "runs" / "summary_host0.json").exists()
