@@ -63,3 +63,57 @@ def load_checkpoint_orbax(path: str, like: Any = None) -> Any:
     if like is not None:
         return ckptr.restore(os.path.abspath(path), like)
     return ckptr.restore(os.path.abspath(path))
+
+
+# ---------------------------------------------------------------------------
+# Backend dispatch: one save/load surface for the workloads
+# (--ckpt_backend {pickle,orbax}).
+# ---------------------------------------------------------------------------
+
+_SIDECAR = "sidecar.json"
+
+
+def save_checkpoint_any(path: str, payload: Dict[str, Any],
+                        backend: str = "pickle") -> None:
+    """Save `payload` with the chosen backend.  Orbax checkpoints are a
+    DIRECTORY at `path`: array entries go through orbax, non-array entries
+    (config dicts, ints) ride in a json sidecar."""
+    if backend == "pickle":
+        save_checkpoint(path, payload)
+        return
+    if backend != "orbax":
+        raise NotImplementedError(f"ckpt backend {backend}")
+    import json
+
+    arrays = {k: v for k, v in payload.items() if _is_array_tree(v)}
+    extras = {k: v for k, v in payload.items() if k not in arrays}
+    if os.path.isdir(path):  # orbax refuses overwrite without force anyway
+        import shutil
+
+        shutil.rmtree(path)
+    save_checkpoint_orbax(os.path.join(path, "arrays"), _to_numpy(arrays))
+    with open(os.path.join(path, _SIDECAR), "w") as f:
+        json.dump(extras, f, default=str)
+
+
+def _is_array_tree(tree: Any) -> bool:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return bool(leaves) and all(
+        isinstance(l, (np.ndarray, np.generic, jax.Array, int, float))
+        and not isinstance(l, bool)
+        for l in leaves
+    )
+
+
+def load_any_checkpoint(path: str) -> Dict[str, Any]:
+    """Load a checkpoint saved by either backend (orbax = directory)."""
+    if os.path.isdir(path):
+        import json
+
+        payload = dict(load_checkpoint_orbax(os.path.join(path, "arrays")))
+        sidecar = os.path.join(path, _SIDECAR)
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                payload.update(json.load(f))
+        return payload
+    return load_checkpoint(path)

@@ -109,6 +109,9 @@ class TrainOptions:
     # exchanges only the [B,S,E] stem and its gradient per step
     # (ref: place_embedding_on_cpu, supernet.py:253-254, :826-840).
     place_embedding_on_cpu: bool = False
+    # Checkpoint backend: "pickle" (single-file, zero-dep) or "orbax"
+    # (directory; async, multi-host-aware array storage + json sidecar).
+    ckpt_backend: str = "pickle"
 
 
 def _use_sparse_embedding(train: "TrainOptions") -> bool:
@@ -219,7 +222,7 @@ def _train_steps_per_epoch(data: DataOptions, train: TrainOptions) -> int:
 
 
 def _dump_logs(logging_dir: Optional[str], epoch_logs, options: Dict, ckpt_payload=None,
-               ckpt_name: str = "checkpoint.pkl"):
+               ckpt_name: str = "checkpoint.pkl", ckpt_backend: str = "pickle"):
     if not logging_dir:
         return
     os.makedirs(logging_dir, exist_ok=True)
@@ -230,7 +233,13 @@ def _dump_logs(logging_dir: Optional[str], epoch_logs, options: Dict, ckpt_paylo
     with open(os.path.join(logging_dir, "train_test_logs.json"), "w") as f:
         json.dump(epoch_logs, f)
     if ckpt_payload is not None:
-        save_checkpoint(os.path.join(logging_dir, ckpt_name), ckpt_payload)
+        from nasrec_tpu.train.checkpoint import save_checkpoint_any
+
+        if ckpt_backend == "orbax":
+            ckpt_name = os.path.splitext(ckpt_name)[0] + ".orbax"
+        save_checkpoint_any(
+            os.path.join(logging_dir, ckpt_name), ckpt_payload, ckpt_backend
+        )
 
 
 def _report_model_stats(apply_fn, params, data: DataOptions, spec, log_fn):
@@ -422,6 +431,7 @@ def train_fixed_subnet(
         {"choice": choice_payload, "data": dataclasses.asdict(data),
          "train": dataclasses.asdict(train)},
         ckpt_payload={"params": saved_params, "step": int(state.step)},
+        ckpt_backend=train.ckpt_backend,
     )
     return {"state": state, "logs": epoch_logs, "best_params": best, "plan": plan}
 
@@ -488,7 +498,9 @@ def train_supernet(
     start_step = 0
     resume_opt_state = None
     if sn.checkpoint_path:
-        ckpt = load_checkpoint(sn.checkpoint_path)
+        from nasrec_tpu.train.checkpoint import load_any_checkpoint
+
+        ckpt = load_any_checkpoint(sn.checkpoint_path)
         params = jax.tree_util.tree_map(jnp.asarray, ckpt["params"])
         resume_opt_state = ckpt.get("opt_state")
         start_step = int(ckpt.get("step", 0))
@@ -654,6 +666,7 @@ def train_supernet(
         {"supernet": dataclasses.asdict(sn), "data": dataclasses.asdict(data),
          "train": dataclasses.asdict(train)},
         ckpt_payload=ckpt_payload, ckpt_name="supernet_checkpoint.pkl",
+        ckpt_backend=train.ckpt_backend,
     )
     return {"state": state, "logs": epoch_logs, "cfg": cfg}
 
@@ -710,7 +723,9 @@ def search_from_supernet(
         use_layernorm=so.use_layernorm,
     )
     if so.ckpt_path:
-        ckpt = load_checkpoint(so.ckpt_path)
+        from nasrec_tpu.train.checkpoint import load_any_checkpoint
+
+        ckpt = load_any_checkpoint(so.ckpt_path)
         supernet_params = jax.tree_util.tree_map(jnp.asarray, ckpt["params"])
     else:
         log_fn("WARNING: no supernet checkpoint; searching over random weights")

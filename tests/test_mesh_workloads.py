@@ -262,3 +262,53 @@ def test_use_final_sigmoid_output_in_unit_interval():
     )
     o = np.asarray(out)
     assert (o >= 0).all() and (o <= 1).all()
+
+
+# ---------------------------------------------------------------------------
+# First-class Orbax checkpoints: save from a mesh run, resume into a mesh
+# ---------------------------------------------------------------------------
+
+
+@requires_8dev
+def test_supernet_orbax_checkpoint_resume_on_mesh(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    sn = SupernetOptions(config="autoctr", num_blocks=2, supernet_training_steps=2)
+    train_supernet(
+        sn, _data(),
+        _train(steps=4, mesh_model=2, ckpt_backend="orbax",
+               logging_dir=str(tmp_path)),
+        log_fn=lambda s: None,
+    )
+    ckpt_dir = tmp_path / "supernet_checkpoint.orbax"
+    assert ckpt_dir.is_dir()
+    sn2 = SupernetOptions(
+        config="autoctr", num_blocks=2, supernet_training_steps=2,
+        checkpoint_path=str(ckpt_dir),
+    )
+    out2 = train_supernet(
+        sn2, _data(), _train(steps=3, mesh_model=2), log_fn=lambda s: None
+    )
+    assert int(out2["state"].step) == 4 + 3
+    logs = out2["logs"][0]
+    assert np.isfinite(logs["test_loss"][-1])
+
+
+def test_orbax_pickle_payload_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    from nasrec_tpu.train.checkpoint import load_any_checkpoint, save_checkpoint_any
+
+    payload = {
+        "params": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)},
+        "step": 17,
+        "supernet": {"config": "autoctr", "use_layernorm": True},
+    }
+    p_orbax = tmp_path / "ck.orbax"
+    save_checkpoint_any(str(p_orbax), payload, "orbax")
+    got = load_any_checkpoint(str(p_orbax))
+    np.testing.assert_array_equal(got["params"]["w"], payload["params"]["w"])
+    assert int(np.asarray(got["step"])) == 17
+    assert got["supernet"]["config"] == "autoctr"
+    p_pkl = tmp_path / "ck.pkl"
+    save_checkpoint_any(str(p_pkl), payload, "pickle")
+    got2 = load_any_checkpoint(str(p_pkl))
+    assert int(got2["step"]) == 17
