@@ -11,10 +11,16 @@ step, matching real training.  A zipfian(1.05) variant (hot-row skew typical
 of CTR traffic) and the best window are reported as extra fields.
 
 Roofline fields make "fast" falsifiable:
-  - model_mflops_per_example: XLA cost analysis of the whole train step
-  - achieved_tflops / mfu_bf16: achieved FLOP rate vs v5e peak (197 TFLOP/s)
-  - emb_traffic_gbps / hbm_frac: analytic embedding gather+scatter bytes
-    (rows touched x 64 B x read/write passes) vs v5e HBM peak (819 GB/s)
+  - dot_mflops_per_example: matmul-only FLOPs of the whole train step,
+    counted from the jaxpr (2MNK per dot_general; XLA's aggregate cost
+    analysis also counts sorts/scatters/elementwise and overstates MXU
+    work several-fold, so it is reported separately as xla_cost_*)
+  - achieved_tflops, then two denominators: mfu_vs_spec (v5e public peak,
+    197 bf16 TFLOP/s) and mfu_vs_measured (a dense bf16 matmul timed on
+    THIS chip right before the run — the virtualized runtime's real ceiling)
+  - emb_traffic_gbps / hbm_frac: EXPECTED-unique-row embedding
+    gather+scatter bytes (per-table collision-corrected) vs the measured
+    copy bandwidth of this chip
 
 Baseline: the reference publishes no examples/s; the only comparable number
 is the EA whole-network fine-tune step time of 0.21-0.23 s per 512-example
@@ -77,7 +83,7 @@ def main():
     from nasrec_tpu.models import build_fixed_plan, fixed_init
     from nasrec_tpu.models.embedding import table_offsets
     from nasrec_tpu.models.fixed import fixed_apply_embedded
-    from nasrec_tpu.profiling import cost_analysis_of
+    from nasrec_tpu.profiling import calibrate_chip, cost_analysis_of, dot_flops
     from nasrec_tpu.train import make_optimizer
     from nasrec_tpu.train.loop import init_train_state
     from nasrec_tpu.train.optim import make_lr_schedule
@@ -124,18 +130,22 @@ def main():
 
     # --- roofline -----------------------------------------------------------
     d0, c0, y0 = uniform_batches[0]
+    flops_step = dot_flops(step, state, d0, c0, y0)
+    achieved_flops = flops_step / step_s
     try:
         cost = cost_analysis_of(step, state, d0, c0, y0)
     except Exception:
         cost = {"flops": 0.0, "bytes_accessed": 0.0}
-    flops_step = cost["flops"]
-    achieved_flops = flops_step / step_s
-    # Analytic embedding HBM traffic per step (the dominant scattered access):
-    # gather reads B*S rows; the sparse-adagrad update reads+writes table and
-    # accumulator rows for <= B*S touched rows (4 passes), plus the stem
-    # activation + its gradient (2 passes).  64 B per row at emb_dim 16 f32.
+    peaks = calibrate_chip()
+
+    # Embedding HBM traffic per step: expected UNIQUE rows per table under
+    # the uniform per-slot draw (E[unique] = v*(1-(1-1/v)^B); small tables
+    # collapse to a handful of hot rows) x 64 B x {gather read 1, adagrad
+    # table/acc read+write 4}, plus the dense stem activation + gradient.
     row_bytes = plan.emb_dim * 4
-    emb_bytes = batch * spec.num_sparse * row_bytes * (1 + 4 + 2)
+    uniq = sum(v * (1.0 - (1.0 - 1.0 / v) ** batch) for v in vocab)
+    emb_bytes = (uniq * row_bytes * (1 + 4)
+                 + 2 * batch * spec.num_sparse * row_bytes)
     emb_gbps = emb_bytes / step_s / 1e9
 
     baseline = 512 / 0.22  # ~2327 ex/s, ref: eval_subnet_from_supernet.py:114
@@ -151,11 +161,22 @@ def main():
                 "step_ms": round(step_s * 1e3, 3),
                 "windows_uniform": [round(r, 1) for r in rates_u],
                 "zipf_median": round(rates_z[len(rates_z) // 2], 1),
-                "model_mflops_per_example": round(flops_step / batch / 1e6, 3),
+                "dot_mflops_per_example": round(flops_step / batch / 1e6, 3),
+                "xla_cost_mflops_per_example":
+                    round(cost["flops"] / batch / 1e6, 3),
                 "achieved_tflops": round(achieved_flops / 1e12, 3),
-                "mfu_bf16_peak": round(achieved_flops / V5E_PEAK_BF16_FLOPS, 4),
+                "mfu_vs_spec": round(achieved_flops / V5E_PEAK_BF16_FLOPS, 4),
+                "mfu_vs_measured":
+                    round(achieved_flops / peaks["matmul_flops_per_s"], 4),
+                "measured_matmul_tflops":
+                    round(peaks["matmul_flops_per_s"] / 1e12, 1),
+                "measured_copy_gbps":
+                    round(peaks["copy_bytes_per_s"] / 1e9, 1),
                 "emb_traffic_gbps": round(emb_gbps, 1),
-                "emb_hbm_frac": round(emb_gbps * 1e9 / V5E_PEAK_HBM_BPS, 4),
+                "emb_hbm_frac_spec":
+                    round(emb_gbps * 1e9 / V5E_PEAK_HBM_BPS, 4),
+                "emb_hbm_frac_measured":
+                    round(emb_gbps * 1e9 / peaks["copy_bytes_per_s"], 4),
             }
         )
     )

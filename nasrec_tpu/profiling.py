@@ -28,6 +28,91 @@ def count_flops(fn: Callable, *args) -> float:
     return float(cost.get("flops", 0.0))
 
 
+def dot_flops(fn: Callable, *args, **kwargs) -> int:
+    """Matmul/conv FLOPs of one call of fn(*args) counted from the jaxpr
+    (2*M*N*K per dot_general, batch dims included), recursing into
+    pjit/scan/cond/custom-vjp/pallas sub-jaxprs.
+
+    Unlike XLA's aggregate ``cost_analysis()['flops']`` — which also counts
+    sorts, scans, scatters and element-wise ops and can overstate the
+    MXU-relevant FLOPs several-fold — this is exactly the arithmetic that
+    lands on the systolic array, so achieved/peak ratios computed from it
+    are meaningful (ref fvcore counting: nasrec/utils/train_utils.py:436-452).
+    """
+    jaxpr = jax.make_jaxpr(fn, **kwargs)(*args)
+    return _dot_flops_of_jaxpr(jaxpr.jaxpr)
+
+
+def _dot_flops_of_jaxpr(jaxpr) -> int:
+    total = 0
+    for eqn in jaxpr.eqns:
+        prim = eqn.primitive.name
+        if prim == "dot_general":
+            (lc, rc), (lb, rb) = eqn.params["dimension_numbers"]
+            a, b = eqn.invars[0].aval, eqn.invars[1].aval
+            m = int(np.prod([a.shape[i] for i in range(a.ndim)
+                             if i not in lc and i not in lb], dtype=np.int64))
+            k = int(np.prod([a.shape[i] for i in lc], dtype=np.int64))
+            n = int(np.prod([b.shape[i] for i in range(b.ndim)
+                             if i not in rc and i not in rb], dtype=np.int64))
+            batch = int(np.prod([a.shape[i] for i in lb], dtype=np.int64))
+            total += 2 * m * n * k * batch
+        elif prim == "conv_general_dilated":
+            out = eqn.outvars[0].aval
+            rhs = eqn.invars[1].aval
+            total += 2 * int(np.prod(out.shape)) * int(np.prod(rhs.shape[1:]))
+        # Recurse into sub-jaxprs (pjit, scan, while, pallas_call, custom_vjp).
+        for sub in eqn.params.values():
+            if hasattr(sub, "jaxpr"):
+                total += _dot_flops_of_jaxpr(sub.jaxpr)
+            elif hasattr(sub, "eqns"):
+                total += _dot_flops_of_jaxpr(sub)
+            elif isinstance(sub, (list, tuple)):
+                for s in sub:
+                    if hasattr(s, "jaxpr"):
+                        total += _dot_flops_of_jaxpr(s.jaxpr)
+                    elif hasattr(s, "eqns"):
+                        total += _dot_flops_of_jaxpr(s)
+    return total
+
+
+def calibrate_chip(matmul_dim: int = 4096, copy_mb: int = 512,
+                   trials: int = 20) -> dict:
+    """Measured achievable peaks of THIS chip: dense bf16 matmul FLOP/s and
+    HBM copy bandwidth (read+write bytes).  Public spec sheets are not
+    reliable denominators behind virtualized runtimes, so bench rooflines
+    report fractions of these *measured* peaks alongside the spec numbers."""
+    import jax.numpy as jnp
+
+    n = matmul_dim
+    a = jnp.ones((n, n), jnp.bfloat16)
+    b = jnp.ones((n, n), jnp.bfloat16)
+    mm = jax.jit(lambda a, b: a @ b)
+    jax.block_until_ready(mm(a, b))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(trials):
+        out = mm(a, out if out is not None else b)  # chain to avoid overlap-free timing
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / trials
+    matmul_flops_per_s = 2 * n**3 / dt
+
+    m = copy_mb * 1024 * 1024 // 4
+    x = jnp.ones((m,), jnp.float32)
+    cp = jax.jit(lambda x: x + 1.0)
+    jax.block_until_ready(cp(x))
+    t0 = time.perf_counter()
+    y = x
+    for _ in range(trials):
+        y = cp(y)
+    jax.block_until_ready(y)
+    dt = (time.perf_counter() - t0) / trials
+    copy_bytes_per_s = 2 * m * 4 / dt  # read + write
+
+    return {"matmul_flops_per_s": matmul_flops_per_s,
+            "copy_bytes_per_s": copy_bytes_per_s}
+
+
 def cost_analysis_of(jitted_fn, *args) -> dict:
     """{"flops": N, "bytes_accessed": N} for one call of an already-jitted
     function (XLA's own cost model of the compiled executable).  Values are

@@ -47,6 +47,7 @@ def make_candidate_evaluator(
     adagrad_eps: float = 1e-2,
     eval_batch_chunk: int = 1024,
     finetune_mode: str = "final-only",  # final-only | whole | layernorm-calibrate
+    batch_candidates: bool = True,
 ) -> Callable:
     """Build `evaluate(choices, train_iter_fn, test_iter_fn) -> [results]`.
 
@@ -56,10 +57,21 @@ def make_candidate_evaluator(
       candidates advance in ONE vmapped step per batch (each owns only a
       copy of the final linear + its Adagrad accumulator).
       "whole" (--finetune_whole_supernet 1) and "layernorm-calibrate" train
-      larger parameter sets, so candidates are fine-tuned sequentially with
-      the standard masked train step.
+      larger parameter sets; with batch_candidates (default) each candidate
+      carries its own FULL param/accumulator copy and the K-way group still
+      runs as one vmapped step (memory: K x |params| x 2 — fits the
+      search-capped tables for the canonical group_size 8; pass
+      batch_candidates=False to fall back to one-at-a-time).
     """
     if finetune_mode != "final-only":
+        if batch_candidates:
+            return _make_batched_whole_evaluator(
+                cfg, supernet_params, finetune_mode,
+                learning_rate=learning_rate, max_train_steps=max_train_steps,
+                max_eval_steps=max_eval_steps, lr_schedule=lr_schedule,
+                grad_clip=grad_clip, adagrad_eps=adagrad_eps,
+                eval_batch_chunk=eval_batch_chunk,
+            )
         return _make_sequential_evaluator(
             cfg, supernet_params, finetune_mode,
             learning_rate=learning_rate, max_train_steps=max_train_steps,
@@ -183,6 +195,126 @@ def make_candidate_evaluator(
                     "test_loss": logloss,
                 }
             )
+        return results
+
+    return evaluate
+
+
+def _make_batched_whole_evaluator(
+    cfg: SuperNetConfig,
+    supernet_params: Dict,
+    finetune_mode: str,
+    *,
+    learning_rate: float,
+    max_train_steps: int,
+    max_eval_steps: int,
+    lr_schedule: str,
+    grad_clip: float,
+    adagrad_eps: float,
+    eval_batch_chunk: int,
+) -> Callable:
+    """Whole-net / LN-calibrate fine-tune with K candidates per step: every
+    candidate owns a full (params, adagrad acc) copy, stacked on a leading K
+    axis, and the group advances as ONE vmapped jitted step (closing the ~Kx
+    throughput gap of the sequential path; ref --finetune_whole_supernet,
+    eval_subnet_from_supernet.py:116-122)."""
+    from nasrec_tpu.train.loop import freeze_mask
+
+    mode = {"whole": "normal", "layernorm-calibrate": "layernorm-calibrate"}[
+        finetune_mode
+    ]
+    sched = make_lr_schedule(
+        lr_schedule, learning_rate, max_train_steps, max_train_steps // 10
+    )
+    trainable = None if mode == "normal" else freeze_mask(supernet_params, mode)
+
+    def one_loss(params, masks, dense, cat, y):
+        return bce_with_logits(supernet_apply(cfg, params, dense, cat, masks), y)
+
+    def one_step(params, acc, masks, dense, cat, y, lr):
+        loss, g = jax.value_and_grad(one_loss)(params, masks, dense, cat, y)
+        if trainable is not None:
+            g = jax.tree_util.tree_map(lambda gg, m: gg * m, g, trainable)
+        g = clip_by_global_norm(g, grad_clip)
+        new_acc = jax.tree_util.tree_map(lambda a, gg: a + jnp.square(gg), acc, g)
+        new_params = jax.tree_util.tree_map(
+            lambda p, a, gg: p - lr * gg / (jnp.sqrt(a) + adagrad_eps),
+            params, new_acc, g,
+        )
+        return new_params, new_acc, loss
+
+    @jax.jit
+    def multi_step(params_k, accs_k, masks_k, step_idx, dense, cat, y):
+        lr = sched(step_idx)
+        return jax.vmap(
+            one_step, in_axes=(0, 0, 0, None, None, None, None)
+        )(params_k, accs_k, masks_k, dense, cat, y, lr)
+
+    @jax.jit
+    def multi_forward(params_k, masks_k, dense, cat):
+        return jax.vmap(
+            lambda p, m: supernet_apply(cfg, p, dense, cat, m), in_axes=(0, 0)
+        )(params_k, masks_k)
+
+    def evaluate(choices, train_iter_fn, test_iter_fn, log_fn=lambda s: None):
+        k = len(choices)
+        masks_k = stack_masks(
+            [choice_to_masks(c, cfg.space, cfg.num_blocks) for c in choices]
+        )
+        params_k = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (k,) + x.shape), supernet_params
+        )
+        accs_k = jax.tree_util.tree_map(jnp.zeros_like, params_k)
+
+        step_idx = 0
+        train_iter = iter(train_iter_fn())
+        while step_idx < max_train_steps:
+            try:
+                dense, cat, y = next(train_iter)
+            except StopIteration:
+                train_iter = iter(train_iter_fn())
+                continue
+            params_k, accs_k, losses = multi_step(
+                params_k, accs_k, masks_k, jnp.asarray(step_idx), dense, cat, y
+            )
+            step_idx += 1
+            if step_idx % 100 == 0:
+                log_fn(f"finetune step {step_idx}: loss {np.asarray(losses).mean():.5f}")
+
+        all_logits, all_labels = [], []
+        for i, (dense, cat, y) in enumerate(test_iter_fn()):
+            if max_eval_steps != -1 and i >= max_eval_steps:
+                break
+            chunks = []
+            for s in range(0, len(y), eval_batch_chunk):
+                sl = slice(s, s + eval_batch_chunk)
+                chunks.append(
+                    np.asarray(
+                        multi_forward(params_k, masks_k, dense[sl], cat[sl])
+                    )[..., 0]
+                )
+            all_logits.append(np.concatenate(chunks, axis=1))
+            all_labels.append(np.asarray(y).ravel())
+        logits = np.concatenate(all_logits, axis=1)
+        labels = np.concatenate(all_labels)
+        probs = stable_sigmoid(logits)
+        eps = 1e-12
+        results = []
+        for i, choice in enumerate(choices):
+            p = probs[i]
+            logloss = float(
+                -(labels * np.log(p + eps) + (1 - labels) * np.log(1 - p + eps)).mean()
+            )
+            if not np.isfinite(logloss):
+                results.append({"choice": choice, "test_acc": -1,
+                                "test_auroc": -1, "test_loss": 999.99})
+            else:
+                results.append({
+                    "choice": choice,
+                    "test_acc": binary_accuracy(p, labels),
+                    "test_auroc": auc_exact(labels, p),
+                    "test_loss": logloss,
+                })
         return results
 
     return evaluate

@@ -112,6 +112,10 @@ class TrainOptions:
     # Checkpoint backend: "pickle" (single-file, zero-dep) or "orbax"
     # (directory; async, multi-host-aware array storage + json sidecar).
     ckpt_backend: str = "pickle"
+    # >1 splits each batch into this many grad-accumulation slices under
+    # lax.scan (sparse-embedding path): peak activation HBM drops to one
+    # slice, update math stays full-batch — the batch>=65536 enabler.
+    micro_batches: int = 1
 
 
 def _use_sparse_embedding(train: "TrainOptions") -> bool:
@@ -381,6 +385,7 @@ def train_fixed_subnet(
                 opt, sched, table_offsets(vocab),
                 grad_clip=train.grad_clip,
                 l2_reg=train.wd, l2_exclude=train.no_reg_param_name,
+                microbatch=train.micro_batches,
             )
         else:
             step = make_train_step(
@@ -457,10 +462,11 @@ class SupernetOptions:
     # reference's unwired --pretrained_dlrm_emb_path, ref: train_supernet.py:413,
     # supernet.py:368-383).
     pretrained_emb_path: Optional[str] = None
-    # Supernet eval: "full-path" (stable; every node active) or "sampled"
-    # (reference behavior — the eval forward samples a random subnet per
-    # batch, ref: train_utils.py:144-147 via SuperNet.forward sampling).
-    eval_path: str = "full-path"
+    # Supernet eval: "sampled" (reference behavior, the default — the eval
+    # forward samples a random subnet per batch, ref: train_utils.py:144-147
+    # via SuperNet.forward sampling) or "full-path" (deterministic; every
+    # node active — more stable metrics but NOT what the reference logs).
+    eval_path: str = "sampled"
     # Apply sigmoid to the final output (ref: supernet.py:284-287).
     use_final_sigmoid: bool = False
 
@@ -583,6 +589,7 @@ def train_supernet(
                 grad_clip=train.grad_clip,
                 l2_reg=train.wd, l2_exclude=train.no_reg_param_name,
                 has_masks=True,
+                microbatch=train.micro_batches,
             )
         else:
             step = make_train_step(
@@ -696,8 +703,10 @@ class SearchOptions:
     group_size: int = 8
     seed: int = 0
     # "final-only" (default) vmaps K candidates per step; "whole" /
-    # "layernorm-calibrate" fine-tune sequentially (ref --finetune_whole_supernet).
-    finetune_mode: str = "final-only" 
+    # "layernorm-calibrate" fine-tune full per-candidate param copies — also
+    # vmapped as a group unless batch_finetune=False (ref --finetune_whole_supernet).
+    finetune_mode: str = "final-only"
+    batch_finetune: bool = True
     # Latency-aware search (criterion="test_loss_penalty_lat"):
     # objective = test_loss + beta * (latency / target_latency - 1)
     # (TuNAS-style relaxation, ref: searcher.py:65-73)
@@ -705,6 +714,50 @@ class SearchOptions:
     target_latency: float = -1.0
     latency_batch_size: int = 512
     latency_trials: int = 50
+
+
+def evaluate_choices_from_supernet(
+    choices: List[Dict],
+    so: SearchOptions = SearchOptions(),
+    data: DataOptions = DataOptions(train_batch_size=512, test_batch_size=8192),
+    log_fn: Callable[[str], None] = print,
+) -> List[Dict]:
+    """Weight-shared evaluation of an EXPLICIT candidate list (no search):
+    restore the supernet checkpoint, fine-tune + score each choice with the
+    canonical evaluator in group_size groups.  The building block behind
+    search_from_supernet, exposed for rank-correlation studies and for
+    re-scoring externally supplied archs (ref: eval_subnet_from_supernet.py's
+    fixed --supernet_test_path mode, lines 220-260)."""
+    spec, vocab = _spec_and_vocab(data)
+    space = OPS_CONFIG_LIB[so.config]
+    cfg = SuperNetConfig(
+        space=space, num_blocks=so.num_blocks, num_dense=spec.num_dense,
+        num_sparse=spec.num_sparse, vocab_sizes=vocab,
+        use_layernorm=so.use_layernorm,
+    )
+    if so.ckpt_path:
+        from nasrec_tpu.train.checkpoint import load_any_checkpoint
+
+        ckpt = load_any_checkpoint(so.ckpt_path)
+        supernet_params = jax.tree_util.tree_map(jnp.asarray, ckpt["params"])
+    else:
+        supernet_params = supernet_init(jax.random.PRNGKey(so.seed), cfg)
+
+    train_iter_fn, test_iter_fn = _make_iterators(data)
+    evaluator = make_candidate_evaluator(
+        cfg, supernet_params,
+        learning_rate=so.learning_rate,
+        max_train_steps=so.max_train_steps,
+        max_eval_steps=so.max_eval_steps,
+        finetune_mode=so.finetune_mode,
+        batch_candidates=so.batch_finetune,
+    )
+    results: List[Dict] = []
+    for s in range(0, len(choices), so.group_size):
+        group = choices[s : s + so.group_size]
+        results.extend(evaluator(group, train_iter_fn, test_iter_fn, log_fn=log_fn))
+        log_fn(f"evaluated {min(s + so.group_size, len(choices))}/{len(choices)}")
+    return results
 
 
 def search_from_supernet(
@@ -738,6 +791,7 @@ def search_from_supernet(
         max_train_steps=so.max_train_steps,
         max_eval_steps=so.max_eval_steps,
         finetune_mode=so.finetune_mode,
+        batch_candidates=so.batch_finetune,
     )
 
     need_latency = so.criterion == "test_loss_penalty_lat" and so.beta != 0.0

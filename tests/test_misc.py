@@ -88,3 +88,25 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(loaded["params"]["w"]),
                                   np.arange(6.0).reshape(2, 3))
     assert int(loaded["step"]) == 7
+
+
+def test_dot_flops_counts_matmuls_exactly():
+    """jaxpr-based dot counting: fwd 2MNK per layer; grad adds dW and dx
+    matmuls (dx of the first layer included since x is an argument)."""
+    import jax
+    import jax.numpy as jnp
+    from nasrec_tpu.profiling import dot_flops
+
+    def f(x, w1, w2):
+        return jnp.tanh(x @ w1) @ w2
+
+    x = jnp.ones((64, 128))
+    w1 = jnp.ones((128, 256))
+    w2 = jnp.ones((256, 32))
+    fwd = 2 * 64 * 128 * 256 + 2 * 64 * 256 * 32
+    assert dot_flops(f, x, w1, w2) == fwd
+    g = jax.grad(lambda x, w1, w2: f(x, w1, w2).sum(), argnums=(1, 2))
+    assert dot_flops(g, x, w1, w2) == 3 * fwd - 2 * 64 * 128 * 256
+
+    # Recurses through jit boundaries.
+    assert dot_flops(jax.jit(f), x, w1, w2) == fwd

@@ -188,3 +188,31 @@ def test_whole_supernet_finetune_mode():
     )
     assert len(results) == 2
     assert all(np.isfinite(r["test_loss"]) for r in results)
+
+
+def test_batched_whole_finetune_matches_sequential():
+    """The vmapped whole-net group evaluator reproduces the sequential
+    per-candidate results (same fine-tune math, Kx fewer dispatches)."""
+    space = OPS_CONFIG_LIB["autoctr"]
+    cfg = SuperNetConfig(
+        space=space, num_blocks=2, num_dense=13, num_sparse=26,
+        vocab_sizes=tuple([60] * 26), use_layernorm=True,
+    )
+    params = supernet_init(jax.random.PRNGKey(3), cfg)
+    tok = Tokenizer(2, space, seed=11)
+    choices = [tok.generate_random_choice() for _ in range(2)]
+    spec = SyntheticSpec(vocab=60)
+    args = dict(max_train_steps=6, max_eval_steps=2)
+    mk_train = lambda: synthetic_batches(512, 64, spec, seed=0, loop=True)
+    mk_test = lambda: synthetic_batches(256, 128, spec, seed=1)
+
+    for mode in ("whole", "layernorm-calibrate"):
+        batched = make_candidate_evaluator(
+            cfg, params, finetune_mode=mode, batch_candidates=True, **args
+        )(choices, mk_train, mk_test)
+        seq = make_candidate_evaluator(
+            cfg, params, finetune_mode=mode, batch_candidates=False, **args
+        )(choices, mk_train, mk_test)
+        for b, s in zip(batched, seq):
+            assert b["test_loss"] == pytest.approx(s["test_loss"], rel=2e-4), mode
+            assert b["test_auroc"] == pytest.approx(s["test_auroc"], abs=2e-3), mode

@@ -85,6 +85,28 @@ def test_search_from_supernet_random(tmp_path):
     assert (tmp_path / "search" / "results.pickle").exists()
 
 
+def test_evaluate_choices_from_supernet_order_and_count():
+    """Explicit-list WS evaluation: results align 1:1 with the input choices
+    (the rank-correlation experiment depends on this ordering)."""
+    from nasrec_tpu.config import OPS_CONFIG_LIB
+    from nasrec_tpu.search import Tokenizer
+    from nasrec_tpu.workloads import evaluate_choices_from_supernet
+
+    tok = Tokenizer(2, OPS_CONFIG_LIB["autoctr"], seed=5)
+    choices = [tok.generate_random_choice() for _ in range(3)]
+    so = SearchOptions(
+        config="autoctr", num_blocks=2, ckpt_path=None,
+        max_train_steps=3, max_eval_steps=2, group_size=2,
+    )
+    results = evaluate_choices_from_supernet(
+        choices, so, _data(), log_fn=lambda s: None
+    )
+    assert len(results) == 3
+    for r, c in zip(results, choices):
+        assert r["choice"] == c
+        assert np.isfinite(r["test_loss"])
+
+
 def test_search_regularized_ea_small():
     so = SearchOptions(
         method="regularized-ea", config="autoctr", num_blocks=2,
