@@ -59,6 +59,10 @@ def add_train_args(p: argparse.ArgumentParser, lr=0.16):
                         "host RAM (ref: supernet.py:253-254)")
     p.add_argument("--use_final_sigmoid", type=int, default=0,
                    help="apply sigmoid to the model output (ref: supernet.py:284-287)")
+    p.add_argument("--micro_batches", type=int, default=1,
+                   help=">1: split each batch into this many grad-accumulation "
+                        "slices under lax.scan (full-batch update math, one "
+                        "slice of activation HBM — enables batch >= 65536)")
     p.add_argument("--ckpt_backend", default="pickle",
                    choices=["pickle", "orbax"],
                    help="checkpoint format: single pickle file or an orbax "
@@ -102,4 +106,5 @@ def train_options(args) -> TrainOptions:
         compute_dtype=args.compute_dtype,
         place_embedding_on_cpu=args.place_embedding_on_cpu == 1,
         ckpt_backend=args.ckpt_backend,
+        micro_batches=args.micro_batches,
     )

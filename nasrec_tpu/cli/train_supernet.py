@@ -36,6 +36,11 @@ def build_parser():
                    help="pickle with candidate choices for evo-2shot-path")
     p.add_argument("--pretrained_emb_path", default=None,
                    help="seed the embedding table from a donor checkpoint")
+    p.add_argument("--eval_path", default="sampled",
+                   choices=["sampled", "full-path"],
+                   help="supernet eval forward: sample a random subnet per "
+                        "eval batch (reference behavior, ref: "
+                        "train_utils.py:144-147) or run every node")
     return p
 
 
@@ -52,6 +57,7 @@ def main(argv=None):
         evo_2shot_candidates_path=args.evo_2shot_path_candidates,
         pretrained_emb_path=args.pretrained_emb_path,
         use_final_sigmoid=args.use_final_sigmoid == 1,
+        eval_path=args.eval_path,
     )
     return train_supernet(sn, data_options(args), train_options(args))
 

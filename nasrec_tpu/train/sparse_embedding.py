@@ -101,6 +101,7 @@ def make_sparse_embedding_train_step(
     l2_exclude: Optional[str] = None,
     has_masks: bool = False,
     donate: bool = True,
+    microbatch: int = 1,
 ):
     """jitted step(state, dense, cat, y) with a sparse-adagrad table update.
 
@@ -108,6 +109,16 @@ def make_sparse_embedding_train_step(
     `state.opt_state` mirrors it (the table's slot is its adagrad accumulator).
     Requires the embedding optimizer to be Adagrad and wd handled as an
     explicit loss EXCLUDING the table (a dense L2 grad would defeat sparsity).
+
+    microbatch > 1 splits the batch into that many equal slices and runs the
+    forward+backward under `lax.scan`, accumulating gradients — peak
+    activation memory drops to one slice's worth while the update math stays
+    that of the FULL batch (grads averaged before the clip; duplicate rows
+    aggregated across all slices before squaring), so numerics match the
+    single-shot step up to float summation order.  This is the large-batch
+    path: batch 65536+ of the flagship model exceeds HBM on the lane-padded
+    [B, slots, 16] block activations, and recomputation (remat) cannot
+    shrink the SAVED residuals that dominate there; slicing the batch can.
     """
     # Keep the closure as NumPy: device arrays captured as jit constants take a
     # slow per-call feed path on some PJRT runtimes; NumPy folds into the HLO.
@@ -123,22 +134,67 @@ def make_sparse_embedding_train_step(
         table = params["embedding"]["table"]
         rest = {k: v for k, v in params.items() if k != "embedding"}
         idx = (cat + jnp.asarray(offsets)[None, :]).reshape(-1)
-        stem = jnp.take(table, idx, axis=0).reshape(cat.shape[0], cat.shape[1], -1)
 
-        def loss_fn(rest_p, stem_in):
+        def loss_fn(rest_p, stem_in, dense_in, y_in):
             logits = (
-                apply_embedded(rest_p, dense, stem_in, masks)
+                apply_embedded(rest_p, dense_in, stem_in, masks)
                 if has_masks
-                else apply_embedded(rest_p, dense, stem_in)
+                else apply_embedded(rest_p, dense_in, stem_in)
             )
-            bce = bce_with_logits(logits, y)
+            bce = bce_with_logits(logits, y_in)
             l2 = l2_penalty(rest_p, l2_reg, l2_exclude)
             return bce + l2, (bce, logits)
 
-        (loss, (bce, logits)), (g_rest, g_stem) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True
-        )(rest, stem)
-        rows, seg, is_end = rowwise_segment_sum(idx, g_stem.reshape(-1, stem.shape[-1]))
+        grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+
+        if microbatch == 1:
+            stem = jnp.take(table, idx, axis=0).reshape(
+                cat.shape[0], cat.shape[1], -1
+            )
+            (loss, (bce, logits)), (g_rest, g_stem) = grad_fn(rest, stem, dense, y)
+            g_stem_flat = g_stem.reshape(-1, stem.shape[-1])
+        else:
+            b_full, s = cat.shape
+            assert b_full % microbatch == 0, (
+                f"batch {b_full} not divisible by microbatch {microbatch}"
+            )
+            b = b_full // microbatch
+
+            def micro(g_rest_acc, xs):
+                d_i, c_i, y_i = xs
+                idx_i = (c_i + jnp.asarray(offsets)[None, :]).reshape(-1)
+                stem_i = jnp.take(table, idx_i, axis=0).reshape(b, s, -1)
+                (loss_i, (bce_i, logits_i)), (g_rest_i, g_stem_i) = grad_fn(
+                    rest, stem_i, d_i, y_i
+                )
+                g_rest_acc = jax.tree_util.tree_map(
+                    lambda a, g: a + g, g_rest_acc, g_rest_i
+                )
+                return g_rest_acc, (
+                    g_stem_i.reshape(-1, stem_i.shape[-1]),
+                    loss_i, bce_i, logits_i,
+                )
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, rest)
+            g_rest_sum, (g_stems, losses, bces, logits_m) = jax.lax.scan(
+                micro,
+                zeros,
+                (
+                    dense.reshape(microbatch, b, -1),
+                    cat.reshape(microbatch, b, s),
+                    y.reshape(microbatch, b, -1),
+                ),
+            )
+            inv_m = 1.0 / microbatch
+            g_rest = jax.tree_util.tree_map(lambda g: g * inv_m, g_rest_sum)
+            # [M, b*S, E] stacking order equals the full-batch row-major
+            # flatten of [B, S], so `idx` (computed on the whole batch) lines
+            # up with the concatenated slice gradients.
+            g_stem_flat = g_stems.reshape(-1, g_stems.shape[-1]) * inv_m
+            loss, bce = losses.mean(), bces.mean()
+            logits = logits_m.reshape(b_full, -1)
+
+        rows, seg, is_end = rowwise_segment_sum(idx, g_stem_flat)
 
         if grad_clip is not None:
             sq_rest = sum(

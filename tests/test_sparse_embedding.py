@@ -85,3 +85,49 @@ def test_sparse_step_matches_dense_step(clip):
         np.asarray(state_dense.params["final"]["w"]),
         rtol=1e-4, atol=1e-6,
     )
+
+
+def test_microbatched_step_matches_single_shot():
+    """microbatch=4 grad accumulation reproduces the single-shot sparse step
+    (full-batch clip + duplicate aggregation across slices)."""
+    choice = get_best_arch("criteo-kaggle", "autoctr")
+    plan = build_fixed_plan(
+        choice, OPS_CONFIG_LIB["autoctr"], 7, 13, 26, tuple([8] * 26),
+        use_layernorm=False,
+    )
+    params = fixed_init(jax.random.PRNGKey(0), plan)
+    opt = make_optimizer("adagrad")
+    lr = lambda s: jnp.asarray(0.1)
+    spec = SyntheticSpec(vocab=8)
+    batches = list(synthetic_batches(4 * 128, 128, spec, seed=0))
+
+    mk = lambda m: make_sparse_embedding_train_step(
+        lambda p, d, s: fixed_apply_embedded(plan, p, d, s), opt, lr,
+        table_offsets(plan.vocab_sizes), grad_clip=0.05, donate=False,
+        microbatch=m,
+    )
+    state1 = state4 = init_train_state(params, opt)
+    step1, step4 = mk(1), mk(4)
+    for d, c, y in batches:
+        state1, m1 = step1(state1, d, c, y)
+        state4, m4 = step4(state4, d, c, y)
+
+    assert float(m1["loss"]) == pytest.approx(float(m4["loss"]), rel=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(m4["logits"]), np.asarray(m1["logits"]), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(state4.params["embedding"]["table"]),
+        np.asarray(state1.params["embedding"]["table"]),
+        rtol=2e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(state4.params["final"]["w"]),
+        np.asarray(state1.params["final"]["w"]),
+        rtol=2e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(state4.opt_state["embedding"]["table"]),
+        np.asarray(state1.opt_state["embedding"]["table"]),
+        rtol=2e-4, atol=1e-7,
+    )
