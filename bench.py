@@ -61,20 +61,32 @@ def _draw_indices(rng, batch, vocab, kind):
 
 
 def _measure(step, batches, state, bench_steps, n_windows=3):
+    """Median-of-windows step rate.  Each window is a TWO-size slope with a
+    host scalar readback as the barrier: on the axon runtime
+    `block_until_ready` acknowledges enqueue, not completion (timing it
+    reports dispatch rate, ~30x the hardware — the round-1 bench bug), and
+    device_get's fixed round-trip cost cancels in the slope.  Steps chain
+    through `state`, so the readback bounds every step in the window."""
     n_slices = len(batches)
-    for i in range(10):  # warmup
-        d, c, y = batches[i % n_slices]
-        state, metrics = step(state, d, c, y)
-    jax.block_until_ready(metrics["loss"])
+    box = {"state": state}
+
+    def run_k(k):
+        st = box["state"]
+        for i in range(k):
+            d, c, y = batches[i % n_slices]
+            st, metrics = step(st, d, c, y)
+        box["state"] = st
+        jax.device_get(metrics["loss"])
+
+    run_k(10)  # warmup
+    from nasrec_tpu.profiling import chained_rate
+
+    k1 = max(bench_steps // 4, 1)
     rates = []
     for _ in range(n_windows):
-        t0 = time.perf_counter()
-        for i in range(bench_steps):
-            d, c, y = batches[i % n_slices]
-            state, metrics = step(state, d, c, y)
-        jax.block_until_ready(metrics["loss"])
-        rates.append(batches[0][0].shape[0] * bench_steps / (time.perf_counter() - t0))
-    return sorted(rates), state
+        step_s = chained_rate(run_k, k1, bench_steps)
+        rates.append(batches[0][0].shape[0] / step_s)
+    return sorted(rates), box["state"]
 
 
 def main():

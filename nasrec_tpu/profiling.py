@@ -88,29 +88,53 @@ def calibrate_chip(matmul_dim: int = 4096, copy_mb: int = 512,
     a = jnp.ones((n, n), jnp.bfloat16)
     b = jnp.ones((n, n), jnp.bfloat16)
     mm = jax.jit(lambda a, b: a @ b)
-    jax.block_until_ready(mm(a, b))
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(trials):
-        out = mm(a, out if out is not None else b)  # chain to avoid overlap-free timing
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / trials
+    # full(1/n) is a fixed point of a@a up to rounding: chained calls never
+    # overflow bf16, so every link does real arithmetic.
+    a = jnp.full((n, n), 1.0 / n, jnp.bfloat16)
+
+    def run_mm(k):
+        out = a
+        for _ in range(k):
+            out = mm(a, out)
+        jax.device_get(out[0, 0])
+
+    run_mm(3)  # warmup (compile)
+    dt = chained_rate(run_mm, max(trials // 4, 2), trials)
     matmul_flops_per_s = 2 * n**3 / dt
 
     m = copy_mb * 1024 * 1024 // 4
-    x = jnp.ones((m,), jnp.float32)
+    x = jnp.zeros((m,), jnp.float32)
     cp = jax.jit(lambda x: x + 1.0)
-    jax.block_until_ready(cp(x))
-    t0 = time.perf_counter()
-    y = x
-    for _ in range(trials):
-        y = cp(y)
-    jax.block_until_ready(y)
-    dt = (time.perf_counter() - t0) / trials
+
+    def run_cp(k):
+        y = x
+        for _ in range(k):
+            y = cp(y)
+        jax.device_get(y[0])
+
+    run_cp(3)
+    dt = chained_rate(run_cp, max(trials // 4, 2), trials)
     copy_bytes_per_s = 2 * m * 4 / dt  # read + write
 
     return {"matmul_flops_per_s": matmul_flops_per_s,
             "copy_bytes_per_s": copy_bytes_per_s}
+
+
+def chained_rate(run_k: Callable[[int], None], k1: int, k2: int) -> float:
+    """Seconds per iteration from the SLOPE between two window sizes.
+
+    run_k(k) must execute k data-dependent iterations and block on a host
+    readback of the final value.  On remote PJRT runtimes (axon tunnel)
+    `block_until_ready` acknowledges enqueue, not completion — timing it
+    reports dispatch rate, up to ~30x faster than the hardware.  A device_get
+    of a scalar is a true barrier; its fixed round-trip cost cancels in the
+    two-window slope."""
+    t0 = time.perf_counter()
+    run_k(k1)
+    t1 = time.perf_counter()
+    run_k(k2)
+    t2 = time.perf_counter()
+    return ((t2 - t1) - (t1 - t0)) / (k2 - k1)
 
 
 def cost_analysis_of(jitted_fn, *args) -> dict:
@@ -131,18 +155,27 @@ def measure_latency(
     args: Tuple,
     num_warmup_steps: int = 10,
     num_trials: int = 200,
+    num_windows: int = 5,
 ) -> Tuple[float, float]:
-    """(mean, std) wall-clock seconds per call, 5-95 percentile trimmed."""
+    """(mean, std) wall-clock seconds per call.
+
+    Per-call `block_until_ready` timing is meaningless on remote runtimes
+    (see chained_rate); instead each of num_windows samples is a two-window
+    slope with a device_get barrier — calls are dispatched back-to-back and
+    the single in-order TPU core serializes them, so the last call's readback
+    bounds them all."""
     jfn = jax.jit(fn)
-    lat = []
-    for i in range(num_warmup_steps + num_trials):
-        t0 = time.perf_counter()
-        out = jfn(*args)
-        jax.block_until_ready(out)
-        t1 = time.perf_counter()
-        if i >= num_warmup_steps:
-            lat.append(t1 - t0)
-    lat = np.asarray(lat)
-    lo, hi = np.percentile(lat, 5), np.percentile(lat, 95)
-    lat = lat[(lat >= lo) & (lat <= hi)]
+
+    def run_k(k):
+        out = None
+        for _ in range(k):
+            out = jfn(*args)
+        jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+
+    run_k(max(num_warmup_steps, 1))
+    k2 = max(num_trials // num_windows, 4)
+    k1 = max(k2 // 4, 1)
+    lat = np.asarray(
+        [max(chained_rate(run_k, k1, k2), 0.0) for _ in range(num_windows)]
+    )
     return float(lat.mean()), float(lat.std())
