@@ -1,0 +1,317 @@
+"""Streaming-sweep sparse-adagrad table update (the production update path).
+
+Why: XLA's scatter on TPU is LATENCY-bound at ~104 ns/row regardless of
+donation or uniqueness (measured, experiments/probe_step_components.py) —
+the flagship full-vocab step pays ~186 ms for its two scatter-adds at
+~852k update positions (experiments/probe_table_sweep.py).  A full-table
+STREAMING pass, by contrast, moves table+acc (8.6 GB read+write) in ~30 ms.
+This kernel applies the touched-row update DURING one such sweep.
+
+Layout: the [T, 16] f32 table is stored PACKED as [TP, 128] with
+table[8p + j] at packed[p, 16j:16j+16] (8 vocab rows per 128-lane row).
+Packing is mandatory: Mosaic cannot stream 16-lane blocks, and the naive
+XLA reshape [T,16]->[T/8,128] relayouts through a T(8,128)-tiled copy that
+PADS 16 lanes to 128 — a 17 GB allocation at Criteo scale.  `pack_rows` /
+`unpack_rows` convert with 8 static strided slices (pure bandwidth, no fat
+intermediate), and `packed_lookup` gathers super-rows then selects the
+16-lane group with 8 static slices + select (15 ms for 852k lookups vs
+42 s for the einsum formulation — measured, experiments/probe_packed2.py).
+
+The sweep — a WINDOW-LINEARIZED grid:
+  - Update positions are sorted by super-row and cut into (CW, 256) window
+    blocks; each grid step processes ONE window of ONE tile.  A scalar-
+    prefetched schedule (built by cheap XLA ops in `_build_schedule`) maps
+    grid step g -> (tile, window block, is_first, span), giving every tile
+    ceil(segment/CW) consecutive steps.  Total steps are <= n/CW +
+    2*n_tiles for ANY index distribution — a static budget — so unlike a
+    fixed windows-per-tile scheme there is NO overflow path: CTR-skewed
+    traffic (small tables concentrate ~100k positions in one tile) just
+    gives that tile more steps.
+  - The (K_TILE, 128) table/acc blocks stay RESIDENT across a tile's steps
+    (consecutive same block index -> Pallas fetches/flushes once).  Block
+    size is throughput-critical on the axon runtime: (512, 128) grids run
+    <1 GB/s (per-step overhead) while (2048, 128) sustains ~308 GB/s
+    (measured, experiments/probe_sweep2.py).
+  - Each window position carries at most one vocab row's summed gradient in
+    that row's 16-lane group (positions of one super-row have DISJOINT lane
+    groups — the segment-sum contract in train/sparse_embedding.py), so a
+    window's delta is one one-hot matmul building a dense [K_TILE, 128]
+    block D, then pure element-wise math on the resident blocks:
+
+        acc   += D*D                  (D rows are the summed grads)
+        table -= lr * D / (sqrt(acc) + eps)
+
+    Incremental per-window application is EXACT: a vocab row's single
+    nonzero position lives in exactly one window, and rows sharing a
+    super-row occupy disjoint lanes, so cross-window terms are zero.
+    Untouched rows see D == 0 and pass through bit-exactly.  Semantics
+    match torch Adagrad exactly — duplicates are summed upstream BEFORE
+    squaring (ref: nasrec/main_train.py:151-154).
+
+Cost model: 8.6 GB table/acc stream + ~n*1KB window traffic at ~300 GB/s,
+with the one-hot MXU work (~0.4 GFLOP/window at 3 bf16 passes) overlapped
+by Pallas' grid pipelining.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+GROUP = 8           # vocab rows per packed 128-lane super-row
+EMB = 16
+K_TILE = 2048       # packed super-rows per tile block (16384 vocab rows)
+CW = 256            # update positions per window block
+ROWS_PER_TILE = K_TILE * GROUP      # vocab rows per tile
+
+
+def sweep_padded_rows(total_vocab: int) -> int:
+    """Smallest tile-aligned vocab-row count >= total_vocab."""
+    return -(-total_vocab // ROWS_PER_TILE) * ROWS_PER_TILE
+
+
+def pack_rows(x: jnp.ndarray) -> jnp.ndarray:
+    """[T, 16] -> packed [Tpad/8, 128]; row 8p+j lands at [p, 16j:16j+16].
+
+    8 static strided slices + lane concat: every op is layout-compatible on
+    TPU (the direct reshape relayouts through a 16->128 lane-padded copy).
+    Zero-pads rows to a tile multiple first; padding is never indexed.
+    """
+    t, e = x.shape
+    assert e == EMB, x.shape
+    tp = sweep_padded_rows(t)
+    if tp != t:
+        x = jnp.concatenate([x, jnp.zeros((tp - t, e), x.dtype)], 0)
+    return jnp.concatenate([x[j::GROUP] for j in range(GROUP)], axis=1)
+
+
+def unpack_rows(packed: jnp.ndarray, total_vocab: int) -> jnp.ndarray:
+    """Inverse of pack_rows: packed [TP, 128] -> [total_vocab, 16]."""
+    tp = packed.shape[0] * GROUP
+    out = jnp.zeros((tp, EMB), packed.dtype)
+    for j in range(GROUP):
+        out = out.at[j::GROUP].set(packed[:, EMB * j:EMB * (j + 1)])
+    return out[:total_vocab]
+
+
+def packed_lookup(packed: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather vocab rows from the packed table: [N] int32 -> [N, 16].
+
+    Super-row gather + 8 static lane-slices + select — the only fast lane
+    selection on this runtime (take_along_axis: 300 ms, einsum: 42 s;
+    measured, experiments/probe_packed2.py)."""
+    sup = jnp.take(packed, idx // GROUP, axis=0)      # [N, 128]
+    lane = (idx % GROUP)[:, None]
+    out = sup[:, :EMB]
+    for j in range(1, GROUP):
+        out = jnp.where(lane == j, sup[:, EMB * j:EMB * (j + 1)], out)
+    return out
+
+
+def lane_expand(rows: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """[N] vocab rows + [N, 16] grads -> [N, 128] at each row's lane group."""
+    lane = jax.nn.one_hot(rows % GROUP, GROUP, dtype=g.dtype)      # [N, 8]
+    return (lane[:, :, None] * g[:, None, :]).reshape(-1, LANES)
+
+
+def _build_schedule(starts: jnp.ndarray, n_tiles: int, n: int, cw: int):
+    """Static-budget step schedule: one grid step per (tile, window block).
+
+    starts: [n_tiles + 1] int32 segment boundaries (searchsorted of tile
+    super-row boundaries in the sorted update positions).  Returns int32
+    [BUDGET] tables (tile_id, win_block, is_first, span_s, span_e) with
+    BUDGET = ceil(n/cw) + 2*n_tiles + 1 — an upper bound on the windows any
+    distribution needs, since tile t uses max(1, ceil((e_t - align(s_t))/cw))
+    <= seg_t/cw + 2 steps.  Surplus steps get an empty span (s == e == 0) on
+    the LAST tile/window, so their block indices repeat (no DMA) and their
+    delta is exactly zero.
+    """
+    budget = -(-n // cw) + 2 * n_tiles + 1
+    s, e = starts[:-1], starts[1:]
+    aligned = (s // cw) * cw
+    n_win = jnp.maximum(1, -(-(e - aligned) // cw))          # [n_tiles]
+    steps_end = jnp.cumsum(n_win)
+    g = jnp.arange(budget, dtype=jnp.int32)
+    tile_id = jnp.searchsorted(steps_end, g, side="right").astype(jnp.int32)
+    active = tile_id < n_tiles
+    t_c = jnp.minimum(tile_id, n_tiles - 1)
+    w_local = g - jnp.where(t_c > 0, jnp.take(steps_end, t_c - 1), 0)
+    win_block = jnp.take(s, t_c) // cw + jnp.where(active, w_local, 0)
+    # Surplus steps: repeat the last active step's indices so Pallas skips
+    # their DMAs entirely.
+    last = jnp.maximum(steps_end[-1] - 1, 0)
+    tile_id = jnp.where(active, t_c, jnp.take(t_c, last))
+    win_block = jnp.where(active, win_block, jnp.take(win_block, last))
+    is_first = (active & (w_local == 0)).astype(jnp.int32)
+    span_s = jnp.where(active, jnp.take(s, t_c), 0).astype(jnp.int32)
+    span_e = jnp.where(active, jnp.take(e, t_c), 0).astype(jnp.int32)
+    return tile_id, win_block.astype(jnp.int32), is_first, span_s, span_e
+
+
+def _sweep_kernel(
+    tile_id_ref,     # [BUDGET] int32 (SMEM, scalar prefetch)
+    win_ref,         # [BUDGET] int32
+    first_ref,       # [BUDGET] int32 (1 on a tile's first step)
+    ss_ref,          # [BUDGET] int32 span start (global update position)
+    se_ref,          # [BUDGET] int32 span end
+    lr_ref,          # [1] f32
+    table_ref,       # [K_TILE, 128] resident input block
+    acc_ref,         # [K_TILE, 128]
+    u_ref,           # [CW, 256] window block
+    table_out,       # [K_TILE, 128] resident output block (aliased)
+    acc_out,         # [K_TILE, 128]
+    *,
+    cw: int,
+    eps: float,
+):
+    g = pl.program_id(0)
+    s = ss_ref[g]
+    e = se_ref[g]
+    lr = lr_ref[0]
+
+    @pl.when(first_ref[g] == 1)
+    def _copy_through():
+        table_out[:] = table_ref[:]
+        acc_out[:] = acc_ref[:]
+
+    u = u_ref[:]                          # [cw, 256]
+    seg = u[:, :LANES]                    # summed grads, lane-expanded
+    rel = u[:, LANES].astype(jnp.int32)   # super-row offset within tile
+    base = win_ref[g] * cw
+    pos = base + jax.lax.broadcasted_iota(jnp.int32, (cw, 1), 0)
+    span = (pos >= s) & (pos < e)         # column mask, broadcast below
+    sup_iota = jax.lax.broadcasted_iota(jnp.int32, (cw, K_TILE), 1)
+    a = ((rel[:, None] == sup_iota) & span).astype(jnp.bfloat16)
+
+    def dot(lhs, rhs):  # one bf16 MXU pass, f32 accumulate
+        return jax.lax.dot_general(
+            lhs, rhs, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    # Manual 3-pass split (Mosaic lowers only DEFAULT/HIGHEST dot
+    # precision): `a` is 0/1 (bf16-exact) and each output row receives at
+    # most one nonzero term per lane, so splitting `seg` into its exact bf16
+    # hi/mid/lo mantissa triple (8+8+8 of f32's 24 mantissa bits; each
+    # subtraction is Sterbenz-exact) and summing three single-pass dots
+    # reconstructs the f32 gradient EXACTLY at half the MXU cost of
+    # HIGHEST — and bf16 operands halve the scratch VMEM.
+    hi = seg.astype(jnp.bfloat16)
+    r1 = seg - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    d = (dot(a, hi) + dot(a, mid)) + dot(a, lo)       # [K_TILE, 128]
+
+    # Incremental per-window application — exact: nonzero lanes are disjoint
+    # across a tile's windows (one nonzero position per vocab row, disjoint
+    # lane groups within a super-row), so cross-window terms vanish.
+    acc_new = acc_out[:] + d * d
+    acc_out[:] = acc_new
+    table_out[:] = table_out[:] - lr * d / (jnp.sqrt(acc_new) + eps)
+
+
+def _sweep_impl(table_p, acc_p, sup_rows, seg128, lr, *, eps, cw, interpret):
+    tp, lanes = table_p.shape
+    assert lanes == LANES and tp % K_TILE == 0, (tp, lanes)
+    n_tiles = tp // K_TILE
+    n = sup_rows.shape[0]
+
+    boundaries = jnp.arange(n_tiles + 1, dtype=jnp.int32) * K_TILE
+    starts = jnp.searchsorted(sup_rows, boundaries).astype(jnp.int32)
+    tile_id, win_block, is_first, span_s, span_e = _build_schedule(
+        starts, n_tiles, n, cw
+    )
+    budget = int(tile_id.shape[0])
+
+    # Update payload: lanes 0-127 = lane-expanded summed grads, lane 128 =
+    # the super-row's offset within its tile (< K_TILE, f32-exact).
+    rel = (sup_rows % K_TILE).astype(jnp.float32)
+    meta = jnp.zeros((n, LANES), jnp.float32).at[:, 0].set(rel)
+    upd = jnp.concatenate([seg128, meta], axis=1)       # [n, 256]
+    # Pad to whole window blocks plus one spare so the last tile's final
+    # window index stays in bounds; padded positions fail the span test.
+    pad_rows = (-n) % cw + cw
+    upd = jnp.concatenate([upd, jnp.zeros((pad_rows, 2 * LANES), jnp.float32)], 0)
+
+    kernel = functools.partial(_sweep_kernel, cw=cw, eps=eps)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(budget,),
+        in_specs=[
+            pl.BlockSpec((K_TILE, LANES),
+                         lambda g, tid, win, fst, ss, se, lr: (tid[g], 0)),
+            pl.BlockSpec((K_TILE, LANES),
+                         lambda g, tid, win, fst, ss, se, lr: (tid[g], 0)),
+            pl.BlockSpec((cw, 2 * LANES),
+                         lambda g, tid, win, fst, ss, se, lr: (win[g], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((K_TILE, LANES),
+                         lambda g, tid, win, fst, ss, se, lr: (tid[g], 0)),
+            pl.BlockSpec((K_TILE, LANES),
+                         lambda g, tid, win, fst, ss, se, lr: (tid[g], 0)),
+        ],
+    )
+    new_table_p, new_acc_p = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct(table_p.shape, table_p.dtype),
+            jax.ShapeDtypeStruct(acc_p.shape, acc_p.dtype),
+        ),
+        input_output_aliases={6: 0, 7: 1},
+        interpret=interpret,
+    )(tile_id, win_block, is_first, span_s, span_e,
+      jnp.asarray(lr, jnp.float32).reshape(1), table_p, acc_p, upd)
+    return new_table_p, new_acc_p
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "cw", "interpret"),
+    donate_argnums=(0, 1),
+)
+def sweep_adagrad_update(
+    table_p: jnp.ndarray,   # [TP, 128] f32 packed table, TP % K_TILE == 0
+    acc_p: jnp.ndarray,     # [TP, 128] f32 packed adagrad accumulator
+    sup_rows: jnp.ndarray,  # [N] int32 SORTED touched SUPER-rows; sentinel
+                            #   (>= TP) tail allowed.  Duplicates allowed as
+                            #   long as positions of one super-row carry
+                            #   nonzero values in DISJOINT lane groups (at
+                            #   most one nonzero position per VOCAB row) —
+                            #   the segment-sum contract (zero rows add
+                            #   exact 0.0 terms to the one-hot dot).
+    seg128: jnp.ndarray,    # [N, 128] lane-expanded per-vocab-row summed
+                            #   (and clip-scaled) grads, zero off segment
+                            #   ends
+    lr,
+    *,
+    eps: float = 1e-2,
+    cw: int = CW,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One streaming-sweep application of the touched-row adagrad update."""
+    return _sweep_impl(table_p, acc_p, sup_rows, seg128, lr,
+                       eps=eps, cw=cw, interpret=interpret)
+
+
+def sweep_adagrad_update_reference(table_p, acc_p, sup_rows, seg128, lr, *,
+                                   eps=1e-2):
+    """Scatter-based reference with identical semantics (tests).  Duplicate
+    super-rows with disjoint nonzero lane groups are fine (plain .add)."""
+    tp = table_p.shape[0]
+    tgt = jnp.where(sup_rows < tp, sup_rows, tp)
+    sq = jnp.square(seg128)
+    acc_rows = jnp.take(acc_p, jnp.clip(sup_rows, 0, tp - 1), axis=0)
+    new_acc = acc_p.at[tgt].add(sq, mode="drop")
+    delta = -lr * seg128 / (jnp.sqrt(acc_rows + sq) + eps)
+    new_table = table_p.at[tgt].add(delta, mode="drop")
+    return new_table, new_acc

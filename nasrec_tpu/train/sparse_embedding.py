@@ -34,6 +34,27 @@ from nasrec_tpu.train.metrics import bce_with_logits
 from nasrec_tpu.train.optim import Optimizer
 
 
+def _segment_last_sum(keys_sorted: jnp.ndarray, vals_sorted: jnp.ndarray):
+    """Per-segment sums of vals at each segment's LAST position (else 0).
+
+    keys_sorted: [N] int32 non-decreasing, vals_sorted: [N, E].  Returns
+    (seg [N, E], is_end [N] bool)."""
+    cs = jnp.cumsum(vals_sorted, axis=0)
+    k = keys_sorted
+    is_end = jnp.concatenate([k[1:] != k[:-1], jnp.ones((1,), bool)])
+    n = k.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    # Index of the previous segment end (exclusive prefix cummax of end marks).
+    end_pos = jnp.where(is_end, pos, -1)
+    prev_end = jax.lax.associative_scan(jnp.maximum, end_pos)
+    prev_end = jnp.concatenate([jnp.full((1,), -1, jnp.int32), prev_end[:-1]])
+    base = jnp.where(
+        (prev_end >= 0)[:, None], jnp.take(cs, jnp.maximum(prev_end, 0), axis=0), 0.0
+    )
+    seg = jnp.where(is_end[:, None], cs - base, 0.0)
+    return seg, is_end
+
+
 def rowwise_segment_sum(rows: jnp.ndarray, g: jnp.ndarray):
     """Aggregate gradient contributions of duplicate rows (static shapes).
 
@@ -44,19 +65,32 @@ def rowwise_segment_sum(rows: jnp.ndarray, g: jnp.ndarray):
     order = jnp.argsort(rows)
     r = rows[order]
     gs = jnp.take(g, order, axis=0)
-    cs = jnp.cumsum(gs, axis=0)
-    is_end = jnp.concatenate([r[1:] != r[:-1], jnp.ones((1,), bool)])
-    n = r.shape[0]
-    pos = jnp.arange(n, dtype=jnp.int32)
-    # Index of the previous segment end (exclusive prefix cummax of end marks).
-    end_pos = jnp.where(is_end, pos, -1)
-    prev_end = jax.lax.associative_scan(jnp.maximum, end_pos)
-    prev_end = jnp.concatenate([jnp.full((1,), -1, jnp.int32), prev_end[:-1]])
-    base = jnp.where(
-        (prev_end >= 0)[:, None], jnp.take(cs, jnp.maximum(prev_end, 0), axis=0), 0.0
-    )
-    seg = jnp.where(is_end[:, None], cs - base, 0.0)
+    seg, is_end = _segment_last_sum(r, gs)
     return r, seg, is_end
+
+
+def superrow_segment_sum(rows: jnp.ndarray, g: jnp.ndarray):
+    """Aggregate duplicate-row grads at packed SUPER-row granularity.
+
+    rows: [N] int32 vocab rows, g: [N, 16].  Returns (sup_sorted [N],
+    seg128 [N, 128], is_end [N]): lane-expanded per-VOCAB-row sums at each
+    vocab-row segment's last position (zero elsewhere) — the
+    sweep_adagrad_update input contract.  A super-row can carry up to
+    GROUP nonzero positions (one per distinct vocab row), each in its own
+    lane group; the kernel's one-hot matmul sums them into the super-row's
+    [128] delta, so no second consolidation pass is needed.  Duplicates of
+    one vocab row are summed into its single segment end BEFORE squaring
+    (torch-Adagrad parity).  Doing the cumsum at [N, 16] and lane-expanding
+    only the result keeps the prep ~40% cheaper than a [N, 128] cumsum.
+    """
+    from nasrec_tpu.ops.kernels.table_sweep_pallas import GROUP, lane_expand
+
+    order = jnp.argsort(rows)
+    r = rows[order]
+    gs = jnp.take(g, order, axis=0)
+    seg16, is_end = _segment_last_sum(r, gs)      # vocab-row keys, [N, 16]
+    seg128 = lane_expand(r, seg16)                # zeros stay zero
+    return r // GROUP, seg128, is_end
 
 
 def sparse_adagrad_table_update(
@@ -89,6 +123,57 @@ def sparse_adagrad_table_update(
     return new_table, new_acc
 
 
+def pack_state_for_sweep(state: TrainState) -> TrainState:
+    """Convert the fused embedding table (and its adagrad accumulator) to the
+    streaming-sweep packed [Tpad/8, 128] layout (zero-padding vocab rows to a
+    tile multiple first; padding is never indexed and passes through the
+    sweep bit-exactly).  `unpack_state_from_sweep` inverts it (checkpoints,
+    eval on the standard layout, parity comparisons)."""
+    from nasrec_tpu.ops.kernels.table_sweep_pallas import pack_rows
+
+    params = dict(state.params)
+    params["embedding"] = {
+        **state.params["embedding"],
+        "table": pack_rows(state.params["embedding"]["table"]),
+    }
+    opt = dict(state.opt_state)
+    opt["embedding"] = {
+        **state.opt_state["embedding"],
+        "table": pack_rows(state.opt_state["embedding"]["table"]),
+    }
+    return TrainState(params, opt, state.step)
+
+
+def packed_stem_lookup(emb_params, cat_x, offsets):
+    """Drop-in stem lookup (models.fixed_apply's `stem_lookup` hook) for the
+    packed [Tpad/8, 128] table layout — eval/inference on a sweep-mode state
+    without unpacking.  Slightly FASTER than the unpacked gather (15.6 ms vs
+    17.3 ms for 852k rows; experiments/probe_table_sweep.py): the super-row
+    gather moves aligned 512 B lines."""
+    from nasrec_tpu.ops.kernels.table_sweep_pallas import packed_lookup
+
+    b, s = cat_x.shape
+    idx = (cat_x + jnp.asarray(offsets)[None, :]).reshape(-1)
+    return packed_lookup(emb_params["table"], idx).reshape(b, s, -1)
+
+
+def unpack_state_from_sweep(state: TrainState, total_vocab: int) -> TrainState:
+    """Inverse of pack_state_for_sweep: back to the [total_vocab, 16] layout."""
+    from nasrec_tpu.ops.kernels.table_sweep_pallas import unpack_rows
+
+    params = dict(state.params)
+    params["embedding"] = {
+        **state.params["embedding"],
+        "table": unpack_rows(state.params["embedding"]["table"], total_vocab),
+    }
+    opt = dict(state.opt_state)
+    opt["embedding"] = {
+        **state.opt_state["embedding"],
+        "table": unpack_rows(state.opt_state["embedding"]["table"], total_vocab),
+    }
+    return TrainState(params, opt, state.step)
+
+
 def make_sparse_embedding_train_step(
     apply_embedded: Callable,   # (params_rest, dense, stem[, masks]) -> logits
     optimizer: Optimizer,       # used for all non-embedding params
@@ -102,6 +187,8 @@ def make_sparse_embedding_train_step(
     has_masks: bool = False,
     donate: bool = True,
     microbatch: int = 1,
+    table_update: str = "scatter",   # "scatter" | "sweep"
+    sweep_interpret: Optional[bool] = None,
 ):
     """jitted step(state, dense, cat, y) with a sparse-adagrad table update.
 
@@ -109,6 +196,20 @@ def make_sparse_embedding_train_step(
     `state.opt_state` mirrors it (the table's slot is its adagrad accumulator).
     Requires the embedding optimizer to be Adagrad and wd handled as an
     explicit loss EXCLUDING the table (a dense L2 grad would defeat sparsity).
+
+    table_update="sweep" replaces the two touched-row scatters with the
+    streaming-sweep Pallas kernel (ops/kernels/table_sweep_pallas.py): XLA's
+    TPU scatter is latency-bound at ~104 ns/row, so at ~841k touched rows the
+    scatter pair costs ~176 ms while a full-table stream applying the same
+    update costs ~30-40 ms.  Requires the fused table (and its accumulator)
+    in the PACKED [Tpad/8, 128] layout — convert the state once with
+    `pack_state_for_sweep` (and back with `unpack_state_from_sweep` for
+    checkpoints/eval); padding rows are never indexed and pass through
+    bit-exactly.  The forward gathers super-rows from the packed table
+    (lane-select, see table_sweep_pallas.packed_lookup) and the backward
+    aggregates at super-row granularity.  Numerics match the scatter path up
+    to FMA contraction and f32 summation order.  sweep_interpret=None
+    auto-selects the Pallas interpreter off-TPU (tests).
 
     microbatch > 1 splits the batch into that many equal slices and runs the
     forward+backward under `lax.scan`, accumulating gradients — peak
@@ -126,12 +227,34 @@ def make_sparse_embedding_train_step(
 
     from nasrec_tpu.train.optim import l2_penalty
 
+    if table_update == "sweep":
+        from nasrec_tpu.ops.kernels import table_sweep_pallas as _tsp
+        sweep_fn = _tsp.sweep_adagrad_update
+        if sweep_interpret is None:
+            sweep_interpret = jax.default_backend() != "tpu"
+
+        def lookup(table, idx_flat):
+            return _tsp.packed_lookup(table, idx_flat)
+    elif table_update == "scatter":
+        def lookup(table, idx_flat):
+            return jnp.take(table, idx_flat, axis=0)
+    else:
+        raise ValueError(f"unknown table_update {table_update!r}")
+
     def step_fn(state: TrainState, dense, cat, y, masks=None):
         if isinstance(masks, tuple):  # (device mask buffer, index) — select on device
             buffer, buf_idx = masks
             masks = jax.tree_util.tree_map(lambda x: x[buf_idx], buffer)
         params = state.params
         table = params["embedding"]["table"]
+        if table_update == "sweep" and (
+            table.shape[1] != _tsp.LANES or table.shape[0] % _tsp.K_TILE != 0
+        ):
+            raise ValueError(
+                f"table_update='sweep' needs the packed "
+                f"[Tpad/{_tsp.GROUP}, {_tsp.LANES}] layout (tile-aligned); got "
+                f"{table.shape} — convert the state with pack_state_for_sweep"
+            )
         rest = {k: v for k, v in params.items() if k != "embedding"}
         idx = (cat + jnp.asarray(offsets)[None, :]).reshape(-1)
 
@@ -148,9 +271,7 @@ def make_sparse_embedding_train_step(
         grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
 
         if microbatch == 1:
-            stem = jnp.take(table, idx, axis=0).reshape(
-                cat.shape[0], cat.shape[1], -1
-            )
+            stem = lookup(table, idx).reshape(cat.shape[0], cat.shape[1], -1)
             (loss, (bce, logits)), (g_rest, g_stem) = grad_fn(rest, stem, dense, y)
             g_stem_flat = g_stem.reshape(-1, stem.shape[-1])
         else:
@@ -163,7 +284,7 @@ def make_sparse_embedding_train_step(
             def micro(g_rest_acc, xs):
                 d_i, c_i, y_i = xs
                 idx_i = (c_i + jnp.asarray(offsets)[None, :]).reshape(-1)
-                stem_i = jnp.take(table, idx_i, axis=0).reshape(b, s, -1)
+                stem_i = lookup(table, idx_i).reshape(b, s, -1)
                 (loss_i, (bce_i, logits_i)), (g_rest_i, g_stem_i) = grad_fn(
                     rest, stem_i, d_i, y_i
                 )
@@ -194,13 +315,21 @@ def make_sparse_embedding_train_step(
             loss, bce = losses.mean(), bces.mean()
             logits = logits_m.reshape(b_full, -1)
 
-        rows, seg, is_end = rowwise_segment_sum(idx, g_stem_flat)
+        if table_update == "sweep":
+            # Super-row granularity: lane-expanded per-row sums at each packed
+            # super-row segment's last position — the sweep kernel's contract.
+            rows, seg, is_end = superrow_segment_sum(idx, g_stem_flat)
+        else:
+            rows, seg, is_end = rowwise_segment_sum(idx, g_stem_flat)
 
         if grad_clip is not None:
             sq_rest = sum(
                 jnp.sum(jnp.square(l.astype(jnp.float32)))
                 for l in jax.tree_util.tree_leaves(g_rest)
             )
+            # sum(seg^2) equals the dense-table grad norm in BOTH layouts:
+            # lane expansion places each vocab row's summed grad in its own
+            # lane group, zero elsewhere.
             sq_emb = jnp.sum(jnp.square(seg))
             norm = jnp.sqrt(sq_rest + sq_emb)
             scale = jnp.minimum(1.0, grad_clip / (norm + 1e-6))
@@ -213,9 +342,15 @@ def make_sparse_embedding_train_step(
         new_rest, new_opt_rest = optimizer.update(rest, opt_rest, g_rest, lr)
 
         acc = state.opt_state["embedding"]["table"]
-        new_table, new_acc = sparse_adagrad_table_update(
-            table, acc, rows, seg, lr, adagrad_eps, scale, is_end
-        )
+        if table_update == "sweep":
+            new_table, new_acc = sweep_fn(
+                table, acc, rows, seg * scale, lr,
+                eps=adagrad_eps, interpret=sweep_interpret,
+            )
+        else:
+            new_table, new_acc = sparse_adagrad_table_update(
+                table, acc, rows, seg, lr, adagrad_eps, scale, is_end
+            )
 
         new_params = dict(new_rest)
         new_params["embedding"] = {**params["embedding"], "table": new_table}

@@ -26,9 +26,14 @@ def test_full_nas_pipeline(tmp_path):
     )
 
     # 1. One-shot supernet training (default strategy, warmup decay).
+    # eval_path="full-path": this assertion checks that the supernet LEARNED,
+    # so use the deterministic full-path eval (the "sampled" default matches
+    # the reference's random-subnet-per-eval-batch, too noisy for a
+    # threshold at 300 steps; ref: nasrec/utils/train_utils.py:144-147).
     sn = SupernetOptions(
         config="autoctr", num_blocks=3, strategy="default",
         anypath_choice="binomial-0.5", supernet_training_steps=40,
+        eval_path="full-path",
     )
     sn_out = train_supernet(
         sn, data,
