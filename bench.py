@@ -31,7 +31,10 @@ Workload: the flagship Criteo best fixed subnet (xlarge space) with the FULL
 uncapped embedding tables (~33.8M rows x 16, the final-evaluation
 configuration, ref: utils/config.py:17-19) — full training step (fwd + bwd +
 sparse-adagrad table update + cosine LR + global-norm clip) at batch 32768
-with the Pallas fused attention, device-resident batches.
+with the Pallas fused attention, device-resident batches.  The table update
+runs the streaming-sweep Pallas kernel on the packed table layout
+(table_update="sweep"): XLA's touched-row scatter pair costs 186 ms at this
+scale vs 35 ms for the sweep (experiments/probe_table_sweep.py).
 """
 
 from __future__ import annotations
@@ -113,11 +116,19 @@ def main():
     )
     params = fixed_init(jax.random.PRNGKey(0), plan)
     opt = make_optimizer("adagrad")
-    state = init_train_state(params, opt)
+    from nasrec_tpu.train.sparse_embedding import pack_state_for_sweep
+
+    state = pack_state_for_sweep(init_train_state(params, opt))
     sched = make_lr_schedule("cosine", 0.16, 10_000, 1_000)
+    # micro_batches=2: the batch-32k lane-padded block activations plus the
+    # sweep's update windows exceed HBM in one shot (15.25 GB peak vs 15.75
+    # available); two grad-accumulation slices halve the activation temps
+    # while the update math stays full-batch (tests/test_sparse_embedding.py).
+    micro = 2
     step = make_sparse_embedding_train_step(
         lambda p, d, s: fixed_apply_embedded(plan, p, d, s),
         opt, sched, table_offsets(vocab), grad_clip=5.0,
+        table_update="sweep", microbatch=micro,
     )
 
     rng = np.random.RandomState(0)
@@ -150,14 +161,28 @@ def main():
         cost = {"flops": 0.0, "bytes_accessed": 0.0}
     peaks = calibrate_chip()
 
-    # Embedding HBM traffic per step: expected UNIQUE rows per table under
-    # the uniform per-slot draw (E[unique] = v*(1-(1-1/v)^B); small tables
-    # collapse to a handful of hot rows) x 64 B x {gather read 1, adagrad
-    # table/acc read+write 4}, plus the dense stem activation + gradient.
+    # Embedding HBM traffic per step (sweep update): super-row gather reads
+    # (expected unique super-rows x 512 B), stem activation + gradient, the
+    # [N, 256] update-window build+read, and the full-table streaming sweep
+    # (table+acc read+write) that applies the adagrad update.
+    from nasrec_tpu.ops.kernels.table_sweep_pallas import (
+        GROUP, LANES, sweep_padded_rows,
+    )
+
     row_bytes = plan.emb_dim * 4
-    uniq = sum(v * (1.0 - (1.0 - 1.0 / v) ** batch) for v in vocab)
-    emb_bytes = (uniq * row_bytes * (1 + 4)
-                 + 2 * batch * spec.num_sparse * row_bytes)
+    n_pos = batch * spec.num_sparse
+    sup_bytes = LANES * 4
+    uniq_sup = sum(
+        s * (1.0 - (1.0 - 1.0 / s) ** batch)
+        for s in (max(1.0, v / GROUP) for v in vocab)
+    )
+    tpad = sweep_padded_rows(int(sum(vocab)))
+    emb_bytes = (
+        uniq_sup * sup_bytes                      # gather read
+        + 2 * n_pos * row_bytes                   # stem act + grad
+        + 2 * n_pos * 2 * sup_bytes               # window build + kernel read
+        + 4 * tpad * row_bytes                    # table+acc stream r+w
+    )
     emb_gbps = emb_bytes / step_s / 1e9
 
     baseline = 512 / 0.22  # ~2327 ex/s, ref: eval_subnet_from_supernet.py:114
@@ -170,6 +195,7 @@ def main():
                 "unit": "examples/s/chip",
                 "vs_baseline": round(examples_per_sec / baseline, 2),
                 "batch": batch,
+                "micro_batches": micro,
                 "step_ms": round(step_s * 1e3, 3),
                 "windows_uniform": [round(r, 1) for r in rates_u],
                 "zipf_median": round(rates_z[len(rates_z) // 2], 1),

@@ -78,27 +78,47 @@ def sweep_padded_rows(total_vocab: int) -> int:
     return -(-total_vocab // ROWS_PER_TILE) * ROWS_PER_TILE
 
 
+# Conversions run CHUNKED: XLA stores the strided-slice / scatter
+# intermediates of a [*, 16] array in the lane-padded T(8,128) tiled layout
+# (16 -> 128 lanes, 8x bytes) — at full Criteo scale one such intermediate
+# is 2.2 GB and the 8 needed at once exceed HBM.  2M-row chunks cap the
+# transient padding at ~1 GB; conversion is a once-per-run layout change.
+_PACK_CHUNK = 1 << 21   # vocab rows per conversion chunk
+
+
 def pack_rows(x: jnp.ndarray) -> jnp.ndarray:
     """[T, 16] -> packed [Tpad/8, 128]; row 8p+j lands at [p, 16j:16j+16].
 
-    8 static strided slices + lane concat: every op is layout-compatible on
-    TPU (the direct reshape relayouts through a 16->128 lane-padded copy).
-    Zero-pads rows to a tile multiple first; padding is never indexed.
+    8 static strided slices + lane concat per chunk: every op is
+    layout-compatible on TPU (the direct reshape relayouts through a
+    16->128 lane-padded copy of the WHOLE table).  Zero-pads rows to a tile
+    multiple first; padding is never indexed.
     """
     t, e = x.shape
     assert e == EMB, x.shape
     tp = sweep_padded_rows(t)
     if tp != t:
         x = jnp.concatenate([x, jnp.zeros((tp - t, e), x.dtype)], 0)
-    return jnp.concatenate([x[j::GROUP] for j in range(GROUP)], axis=1)
+    packed = [
+        jnp.concatenate(
+            [x[off + j:off + _PACK_CHUNK:GROUP] for j in range(GROUP)], axis=1
+        )
+        for off in range(0, tp, _PACK_CHUNK)
+    ]
+    return packed[0] if len(packed) == 1 else jnp.concatenate(packed, axis=0)
 
 
 def unpack_rows(packed: jnp.ndarray, total_vocab: int) -> jnp.ndarray:
     """Inverse of pack_rows: packed [TP, 128] -> [total_vocab, 16]."""
-    tp = packed.shape[0] * GROUP
-    out = jnp.zeros((tp, EMB), packed.dtype)
-    for j in range(GROUP):
-        out = out.at[j::GROUP].set(packed[:, EMB * j:EMB * (j + 1)])
+    chp = _PACK_CHUNK // GROUP
+    chunks = []
+    for off in range(0, packed.shape[0], chp):
+        sub = packed[off:off + chp]
+        out = jnp.zeros((sub.shape[0] * GROUP, EMB), packed.dtype)
+        for j in range(GROUP):
+            out = out.at[j::GROUP].set(sub[:, EMB * j:EMB * (j + 1)])
+        chunks.append(out)
+    out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
     return out[:total_vocab]
 
 
@@ -232,14 +252,17 @@ def _sweep_impl(table_p, acc_p, sup_rows, seg128, lr, *, eps, cw, interpret):
     budget = int(tile_id.shape[0])
 
     # Update payload: lanes 0-127 = lane-expanded summed grads, lane 128 =
-    # the super-row's offset within its tile (< K_TILE, f32-exact).
-    rel = (sup_rows % K_TILE).astype(jnp.float32)
-    meta = jnp.zeros((n, LANES), jnp.float32).at[:, 0].set(rel)
-    upd = jnp.concatenate([seg128, meta], axis=1)       # [n, 256]
-    # Pad to whole window blocks plus one spare so the last tile's final
-    # window index stays in bounds; padded positions fail the span test.
-    pad_rows = (-n) % cw + cw
-    upd = jnp.concatenate([upd, jnp.zeros((pad_rows, 2 * LANES), jnp.float32)], 0)
+    # the super-row's offset within its tile (< K_TILE, f32-exact).  Padded
+    # to whole window blocks plus one spare so the last tile's final window
+    # index stays in bounds; padded positions fail the span test.  Built by
+    # in-place updates of one zeros buffer — at the flagship batch this
+    # array is 870 MB, and the concatenate formulation's two extra copies
+    # (plus a full zeros `meta` plane) tipped the step over HBM.
+    npad = n + (-n) % cw + cw
+    upd = jax.lax.dynamic_update_slice(
+        jnp.zeros((npad, 2 * LANES), jnp.float32), seg128, (0, 0)
+    )
+    upd = upd.at[:n, LANES].set((sup_rows % K_TILE).astype(jnp.float32))
 
     kernel = functools.partial(_sweep_kernel, cw=cw, eps=eps)
     grid_spec = pltpu.PrefetchScalarGridSpec(

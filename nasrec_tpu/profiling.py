@@ -61,18 +61,22 @@ def _dot_flops_of_jaxpr(jaxpr) -> int:
             out = eqn.outvars[0].aval
             rhs = eqn.invars[1].aval
             total += 2 * int(np.prod(out.shape)) * int(np.prod(rhs.shape[1:]))
-        # Recurse into sub-jaxprs (pjit, scan, while, pallas_call, custom_vjp).
+        # Recurse into sub-jaxprs (pjit, scan, while, pallas_call,
+        # custom_vjp).  A scan body runs `length` times per call — without
+        # the multiplier, micro-batched (grad-accumulation) steps would
+        # under-report their MXU work by that factor.
+        mult = eqn.params.get("length", 1) if prim == "scan" else 1
         for sub in eqn.params.values():
             if hasattr(sub, "jaxpr"):
-                total += _dot_flops_of_jaxpr(sub.jaxpr)
+                total += mult * _dot_flops_of_jaxpr(sub.jaxpr)
             elif hasattr(sub, "eqns"):
-                total += _dot_flops_of_jaxpr(sub)
+                total += mult * _dot_flops_of_jaxpr(sub)
             elif isinstance(sub, (list, tuple)):
                 for s in sub:
                     if hasattr(s, "jaxpr"):
-                        total += _dot_flops_of_jaxpr(s.jaxpr)
+                        total += mult * _dot_flops_of_jaxpr(s.jaxpr)
                     elif hasattr(s, "eqns"):
-                        total += _dot_flops_of_jaxpr(s)
+                        total += mult * _dot_flops_of_jaxpr(s)
     return total
 
 

@@ -95,6 +95,16 @@ class TrainOptions:
     # adagrad with wd=0 — HBM traffic drops from O(table) to O(batch*slots),
     # which is the difference between 0.9ms and 16ms/step at full Criteo vocab.
     sparse_embedding: Any = "auto"     # "auto" | True | False
+    # How the sparse path applies the table update (single-chip path):
+    #   "scatter" — touched-row XLA scatter pair; best when few rows are
+    #               touched (small batch / capped vocab).
+    #   "sweep"   — Pallas streaming-sweep on the packed [T/8,128] layout
+    #               (ops/kernels/table_sweep_pallas.py); XLA scatter is
+    #               latency-bound (~104 ns/row), so at full Criteo vocab and
+    #               batch 32768 the sweep is 5.3x faster (35 vs 186 ms).
+    #               The train state holds the table packed; checkpoints are
+    #               unpacked back to [vocab, 16] on save.
+    table_update: str = "scatter"
     # Multi-chip SPMD: >0 builds a ("data", "model") mesh over all visible
     # devices with this model-axis size (data fills the rest).  Embedding
     # tables are row-sharded over `model`, the batch over `data`; the table
@@ -318,6 +328,16 @@ def train_fixed_subnet(
         train.lr_schedule, train.learning_rate, num_train_steps, num_warmup
     )
     opt = make_optimizer(train.optimizer)
+    if train.table_update not in ("scatter", "sweep"):
+        raise ValueError(f"unknown table_update {train.table_update!r}")
+    if train.table_update == "sweep" and (
+        train.mesh_model > 0 or train.place_embedding_on_cpu
+    ):
+        raise ValueError(
+            "table_update='sweep' is a single-chip device-table path "
+            "(not compatible with mesh_model / place_embedding_on_cpu)"
+        )
+    packed_eval = False   # True when the state holds the sweep-packed table
     if train.mesh_model > 0:
         from nasrec_tpu.models.embedding import table_offsets
         from nasrec_tpu.models.fixed import fixed_apply_embedded
@@ -378,25 +398,47 @@ def train_fixed_subnet(
         if _use_sparse_embedding(train):
             from nasrec_tpu.models.embedding import table_offsets
             from nasrec_tpu.models.fixed import fixed_apply_embedded
-            from nasrec_tpu.train.sparse_embedding import make_sparse_embedding_train_step
+            from nasrec_tpu.train.sparse_embedding import (
+                make_sparse_embedding_train_step,
+                pack_state_for_sweep,
+            )
 
+            if train.table_update == "sweep":
+                state = pack_state_for_sweep(state)
+                packed_eval = True
             step = make_sparse_embedding_train_step(
                 lambda p, d, s: fixed_apply_embedded(plan, p, d, s, compute_dtype=cdt),
                 opt, sched, table_offsets(vocab),
                 grad_clip=train.grad_clip,
                 l2_reg=train.wd, l2_exclude=train.no_reg_param_name,
                 microbatch=train.micro_batches,
+                table_update=train.table_update,
             )
         else:
+            if train.table_update != "scatter":
+                raise ValueError(
+                    "table_update='sweep' requires the sparse-embedding path "
+                    "(adagrad, wd=0 or sparse_embedding=True)"
+                )
             step = make_train_step(
                 lambda p, d, c: fixed_apply(plan, p, d, c, compute_dtype=cdt),
                 opt, sched,
                 l2_reg=train.wd, l2_exclude=train.no_reg_param_name,
                 grad_clip=train.grad_clip,
             )
-        eval_step = make_eval_step(
-            lambda p, d, c: fixed_apply(plan, p, d, c, compute_dtype=cdt)
-        )
+        if packed_eval:
+            from nasrec_tpu.train.sparse_embedding import packed_stem_lookup
+
+            eval_step = make_eval_step(
+                lambda p, d, c: fixed_apply(
+                    plan, p, d, c, stem_lookup=packed_stem_lookup,
+                    compute_dtype=cdt,
+                )
+            )
+        else:
+            eval_step = make_eval_step(
+                lambda p, d, c: fixed_apply(plan, p, d, c, compute_dtype=cdt)
+            )
     train_iter_fn, test_iter_fn = _make_iterators(data)
 
     if train.report_flops:
@@ -427,7 +469,19 @@ def train_fixed_subnet(
                 best = best_ep
     writer.close()
 
-    saved_params = _unpad_params(jax.device_get(state.params), vocab)
+    if packed_eval:  # sweep layout -> standard [vocab, 16] checkpoint format
+        from nasrec_tpu.ops.kernels.table_sweep_pallas import unpack_rows
+
+        saved_params = dict(state.params)
+        saved_params["embedding"] = {
+            **state.params["embedding"],
+            "table": unpack_rows(
+                state.params["embedding"]["table"], int(sum(vocab))
+            ),
+        }
+        saved_params = jax.device_get(saved_params)
+    else:
+        saved_params = _unpad_params(jax.device_get(state.params), vocab)
     if train.place_embedding_on_cpu:
         saved_params = dict(saved_params)
         saved_params["embedding"] = {"table": host_emb.table}

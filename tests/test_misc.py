@@ -110,3 +110,12 @@ def test_dot_flops_counts_matmuls_exactly():
 
     # Recurses through jit boundaries.
     assert dot_flops(jax.jit(f), x, w1, w2) == fwd
+
+    # A scan body's dots count once per iteration (micro-batched grad
+    # accumulation would otherwise under-report by the slice count).
+    def scanned(x, w1, w2):
+        def body(c, xs):
+            return c, f(xs, w1, w2)
+        return jax.lax.scan(body, 0.0, x.reshape(4, 16, 128))[1]
+
+    assert dot_flops(scanned, x, w1, w2) == fwd

@@ -50,6 +50,31 @@ def test_train_fixed_subnet_flow(tmp_path):
     assert os.path.exists(tmp_path / "configs_args.json")
 
 
+def test_train_fixed_subnet_sweep_update(tmp_path):
+    """table_update='sweep' trains on the packed layout, tracks the scatter
+    run numerically, and still saves the standard [vocab, 16] checkpoint."""
+    choice = get_best_arch("criteo-kaggle", "autoctr")
+    payload = {**choice, "config": "autoctr", "num_blocks": 7}
+    tr = _train(tmp_path, steps=20)
+    out_sw = train_fixed_subnet(
+        payload, _data(),
+        TrainOptions(**{**tr.__dict__, "table_update": "sweep"}),
+        log_fn=lambda s: None,
+    )
+    out_sc = train_fixed_subnet(
+        payload, _data(),
+        TrainOptions(**{**tr.__dict__, "logging_dir": None}),
+        log_fn=lambda s: None,
+    )
+    l_sw = out_sw["logs"][0]["test_loss"][-1]
+    l_sc = out_sc["logs"][0]["test_loss"][-1]
+    assert np.isfinite(l_sw) and abs(l_sw - l_sc) < 1e-4, (l_sw, l_sc)
+    with open(tmp_path / "checkpoint.pkl", "rb") as f:
+        saved = pickle.load(f)
+    # synthetic vocab: 26 slots x 1000 rows, unpacked back from the sweep
+    assert saved["params"]["embedding"]["table"].shape == (26000, 16)
+
+
 def test_train_supernet_and_resume(tmp_path):
     sn = SupernetOptions(
         config="autoctr", num_blocks=2, strategy="default",
