@@ -67,12 +67,7 @@ def transformer_init(
 
 
 def _mha(p: Params, x: jnp.ndarray, num_heads: int, impl: str = "xla") -> jnp.ndarray:
-    """Multi-head self-attention; softmax in f32.
-
-    impl="pallas" uses the fused VMEM-resident kernel
-    (ops/kernels/attention_pallas.py) which never materialises [B,H,S,S] in
-    HBM in either direction; "xla" is the einsum path.
-    """
+    """Multi-head self-attention on S-major [B, S, E]; softmax in f32."""
     b, s, e = x.shape
     hd = e // num_heads
     qkv = jnp.dot(x, p["w_in"].astype(x.dtype)) + p["b_in"].astype(x.dtype)
@@ -98,6 +93,39 @@ def _mha(p: Params, x: jnp.ndarray, num_heads: int, impl: str = "xla") -> jnp.nd
     return jnp.dot(out, p["w_out"].astype(x.dtype)) + p["b_out"].astype(x.dtype)
 
 
+def _linear_e(w: jnp.ndarray, b: Optional[jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
+    """Feature linear on E-major [B, E, S]: contract the E (sublane) axis."""
+    y = jnp.einsum("ef,bes->bfs", w.astype(x.dtype), x)
+    if b is not None:
+        y = y + b.astype(x.dtype)[None, :, None]
+    return y
+
+
+def _ln_e(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """LayerNorm over the E axis of E-major [B, E, S]; stats in f32."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"][None, :, None] + p["bias"][None, :, None]
+    return y.astype(x.dtype)
+
+
+def _mha_t(p: Params, xt: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """Multi-head self-attention on E-MAJOR [B, E, S] via the fused Pallas
+    kernel — no [B, S, E] lane-padded tensors anywhere (E=16 pads 8x on
+    lanes; on sublanes it is exactly two (8,128) tiles)."""
+    from nasrec_tpu.ops.kernels.attention_pallas import fused_tiny_head_attention_t
+
+    qkv = _linear_e(p["w_in"], p["b_in"], xt)          # [B, 3E, S]
+    e = xt.shape[1]
+    q, k, v = qkv[:, :e], qkv[:, e:2 * e], qkv[:, 2 * e:]
+    out = fused_tiny_head_attention_t(
+        q, k, v, num_heads, jax.default_backend() != "tpu"
+    )
+    return _linear_e(p["w_out"], p["b_out"], out)
+
+
 def transformer_apply(
     p: Params,
     sparse: jnp.ndarray,  # [B, S_in, E]
@@ -109,6 +137,20 @@ def transformer_apply(
     xt = linear_apply(p["proj"], xt)          # [B, E, out_slots]
     if "proj_ln" in p:
         xt = ln_apply(p["proj_ln"], xt)
+
+    if impl == "pallas":
+        # Stay E-major end-to-end: every [B, S, E] intermediate would pad
+        # E=16 -> 128 lanes (8x traffic); on sublanes E is exactly two
+        # (8,128) tiles.  Same math as the S-major path below.
+        xt = apply_mask(xt, slot_mask, axis=2)    # mask slot axis (ref :653-662)
+        attn = _mha_t(p["mha"], xt, num_heads)
+        xt = _ln_e(p["attn_ln"], attn + xt)       # residual + LN(0.17) (ref :666-668)
+        h = jax.nn.relu(_linear_e(p["fc1"]["w"], p["fc1"].get("b"), xt))
+        h = _linear_e(p["fc2"]["w"], p["fc2"].get("b"), h)
+        xt = _ln_e(p["fc_ln"], xt + h)            # residual + LN(0.17) (ref :673-675)
+        xt = apply_mask(xt, slot_mask, axis=2)    # final slot mask (ref :678-686)
+        return jnp.swapaxes(xt, 1, 2)
+
     x = jnp.swapaxes(xt, 1, 2)                # [B, out_slots, E]
     x = apply_mask(x, slot_mask, axis=1)      # mask slot axis (ref :653-662)
 

@@ -78,11 +78,6 @@ def dot_product_init(
     return p
 
 
-def _tril_flat_indices(n: int) -> np.ndarray:
-    li, lj = np.tril_indices(n, k=-1)
-    return (li * n + lj).astype(np.int32)
-
-
 def dot_product_apply(
     p: Params,
     dense: jnp.ndarray,   # [B, D]
@@ -108,8 +103,12 @@ def dot_product_apply(
     t = jnp.concatenate([x[:, None, :], y], axis=1)  # [B, n, E]
     n = t.shape[1]
     z = jnp.einsum("bne,bme->bnm", t, t)             # pairwise dots
-    flat = jnp.reshape(z, (z.shape[0], n * n))
-    out = jnp.take(flat, jnp.asarray(_tril_flat_indices(n)), axis=1)
+    # Strict lower triangle, row-major (== flat[tril_flat_indices]): row i
+    # contributes its first i entries, which are CONTIGUOUS — static slices
+    # + one concat.  A flat gather of the n(n-1)/2 indices lowers to a
+    # serialized per-index while-loop on TPU (~13 ms/step at n=40, batch
+    # 32768, measured in the round-2 trace); slicing is pure layout.
+    out = jnp.concatenate([z[:, i, :i] for i in range(1, n)], axis=1)
     if "out_proj" in p:
         out = linear_apply(p["out_proj"], out)
     if "out_ln" in p:

@@ -2,25 +2,30 @@
 
 The slot-axis transformer attends over <=~530 slots with 8 heads of dim 2
 (ref: nasrec/supernet/modules.py:624, SURVEY.md §5.7).  XLA's backward for
-this shape materialises [B, H, S, S] score tensors (2x padded) in HBM — the
-allocation that OOMs a v5e at batch >=32k even under remat.
+this shape materialises [B, H, S, S] score tensors in HBM — the allocation
+that OOMs a v5e at batch >=32k even under remat.
 
-This kernel processes batch tiles entirely in VMEM and never writes scores to
-HBM in either direction (flash-style; no log-sum-exp streaming needed because
-the full slot axis fits in VMEM).
+This kernel processes batch tiles entirely in VMEM and never writes scores
+to HBM in either direction (flash-style; no log-sum-exp streaming needed
+because the full slot axis fits in VMEM).
 
-Layout trick for head_dim=2: slicing [*, 2] operands would pad each to 128
-lanes (64x waste) and overflow VMEM.  Instead every per-head contraction runs
-over the FULL E axis with a 0/1 head mask folded into one operand:
+Layout: operands are E-MAJOR — [B, E, S] with E=16 on sublanes (exactly two
+(8,128) tiles) and slots on lanes.  The S-major [B, S, E] form pads E
+16->128 lanes (8x VMEM and VPU traffic), which capped batch tiles at 32-64
+rows and made the kernel overhead-bound: the first-generation S-major
+kernel measured 44/28/11 ms fwd+bwd at S=64/48/16, batch 32768 — ~84 ms of
+a 164 ms train-step body (experiments, round-2 trace).  E-major removes all
+padding, and both attention contractions are MXU-native:
 
-    s_h   = (q * m_h) k^T          (= q_h k_h^T, since m_h is idempotent)
-    out  += p_h (v * m_h)          (writes only head-h output columns)
+    scores_h = (q*m_h)^T k        contraction over E (sublanes)
+    out_h    = (v*m_h) p^T        contraction over slots (lanes)
 
-so all tensors keep the [TB, S, E] shape and pad once.
+where m_h is a 0/1 sublane mask selecting head h's two dims (per-head
+slicing would create sublane-2 operands; the idempotent mask keeps every
+tensor [TB, 16, S] and is exact).
 
-Measured on v5e (full Criteo-best train step, batch 16384): 0.73 ms/step vs
-0.72 ms for the XLA einsum path with remat — parity on speed; the win is
-memory (no [B,H,S,S] HBM transients in the backward).  Default stays "xla".
+The op-level caller (ops/attention.py) stays E-major end-to-end between its
+slot projection and the final swap back, so no extra transposes are paid.
 """
 
 from __future__ import annotations
@@ -45,41 +50,43 @@ def _softmax(s):
 
 
 def _head_mask(e: int, num_heads: int, h: int) -> jnp.ndarray:
-    """In-kernel 0/1 mask over the E axis selecting head h's dims (iota-based:
-    Pallas kernels cannot capture array constants)."""
+    """0/1 mask over the E (sublane) axis selecting head h's dims
+    (iota-based: Pallas kernels cannot capture array constants)."""
     hd = e // num_heads
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, e), 2)
-    return (lane // hd == h).astype(jnp.float32)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (1, e, 1), 1)
+    return (sub // hd == h).astype(jnp.float32)
 
 
-_CE = (((2,), (2,)), ((0,), (0,)))  # contract E:      [TB,S,E]x[TB,S,E] -> [TB,S,S]
-_CS = (((2,), (1,)), ((0,), (0,)))  # contract rows:   [TB,S,S]x[TB,S,E] -> [TB,S,E]
-_CT = (((1,), (1,)), ((0,), (0,)))  # transpose-contract over the first S axis
+# dot_general dimension numbers on [TB, E, S] operands (batch dim 0):
+_C_E = (((1,), (1,)), ((0,), (0,)))   # [TB,E,S] x [TB,E,T] -> [TB,S,T]
+_C_T = (((2,), (2,)), ((0,), (0,)))   # [TB,E,T] x [TB,S,T] -> [TB,E,S]
+_C_S = (((2,), (1,)), ((0,), (0,)))   # [TB,E,S] x [TB,S,T] -> [TB,E,T]
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int):
-    q = q_ref[:].astype(jnp.float32)
+    q = q_ref[:].astype(jnp.float32)      # [TB, E, S]
     k = k_ref[:].astype(jnp.float32)
     v = v_ref[:].astype(jnp.float32)
-    e = q.shape[-1]
+    e = q.shape[1]
     scale = 1.0 / np.sqrt(e // num_heads)
     out = jnp.zeros_like(q)
     for h in range(num_heads):
         m = _head_mask(e, num_heads, h)
-        s = jax.lax.dot_general(q * m, k, _CE, preferred_element_type=jnp.float32)
-        p = _softmax(s * scale)
+        s = jax.lax.dot_general(q * m, k, _C_E, preferred_element_type=jnp.float32)
+        p = _softmax(s * scale)           # [TB, S, T], softmax over lanes
         out = out + jax.lax.dot_general(
-            p, v * m, _CS, preferred_element_type=jnp.float32
+            v * m, p, _C_T, preferred_element_type=jnp.float32
         )
     o_ref[:] = out.astype(o_ref.dtype)
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, num_heads: int):
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
+                num_heads: int):
     q = q_ref[:].astype(jnp.float32)
     k = k_ref[:].astype(jnp.float32)
     v = v_ref[:].astype(jnp.float32)
     do = do_ref[:].astype(jnp.float32)
-    e = q.shape[-1]
+    e = q.shape[1]
     scale = 1.0 / np.sqrt(e // num_heads)
     dq = jnp.zeros_like(q)
     dk = jnp.zeros_like(q)
@@ -87,40 +94,39 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, num_head
     for h in range(num_heads):
         m = _head_mask(e, num_heads, h)
         qm = q * m
-        s = jax.lax.dot_general(qm, k, _CE, preferred_element_type=jnp.float32)
+        s = jax.lax.dot_general(qm, k, _C_E, preferred_element_type=jnp.float32)
         p = _softmax(s * scale)
-        dp = jax.lax.dot_general(do * m, v, _CE, preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do * m, v, _C_E,
+                                 preferred_element_type=jnp.float32)
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
         dq = dq + jax.lax.dot_general(
-            ds, k, _CS, preferred_element_type=jnp.float32
+            k, ds, _C_T, preferred_element_type=jnp.float32
         ) * m
         dk = dk + jax.lax.dot_general(
-            ds, qm, _CT, preferred_element_type=jnp.float32
+            qm, ds, _C_S, preferred_element_type=jnp.float32
         ) * m
         dv = dv + jax.lax.dot_general(
-            p, do * m, _CT, preferred_element_type=jnp.float32
+            do * m, p, _C_S, preferred_element_type=jnp.float32
         )
     dq_ref[:] = dq.astype(dq_ref.dtype)
     dk_ref[:] = dk.astype(dk_ref.dtype)
     dv_ref[:] = dv.astype(dv_ref.dtype)
 
 
-def _block_specs(batch_tile: int, s: int, e: int, n: int):
-    spec = pl.BlockSpec((batch_tile, s, e), lambda i: (i, 0, 0),
-                        memory_space=pltpu.VMEM)
-    return [spec] * n
-
-
 VMEM_LIMIT = 100 * 1024 * 1024  # v5e has 128 MiB of VMEM; leave headroom
 
 
-def _pick_tile(b: int, s: int) -> int:
-    # Empirical VMEM footprint (io buffers pad E 16->128 lanes, scores pad
-    # S->128, Mosaic keeps several unrolled-head transients live) is ~16 KB
-    # per (tile x slot) unit; stay well under the 100 MB cap.
-    budget_units = 5120
-    for t in (512, 256, 128, 64, 32, 16, 8):
-        if b % t == 0 and t * s <= budget_units:
+def _pick_tile(b: int, e: int, s: int) -> int:
+    """Largest batch tile whose VMEM footprint stays well under the limit:
+    7 io blocks [TB,16,S] (in+out, double-buffered) + [S,S]-sized score
+    transients per batch row (Mosaic's stack keeps ~16 of them live across
+    the unrolled heads — measured 255 KB/row at S=64), all f32 and unpadded
+    in the E-major layout."""
+    lanes = -(-s // 128) * 128   # minor dim still pads to 128 lanes
+    per_row = (7 * e * lanes + 16 * s * lanes) * 4
+    budget = 48 * 1024 * 1024
+    for t in (1024, 512, 256, 128, 64, 32, 16, 8):
+        if b % t == 0 and t * per_row <= budget:
             return t
     return min(b, 8)
 
@@ -129,52 +135,71 @@ def _params():
     return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
 
 
-def _run_fwd(q, k, v, num_heads, interpret):
-    b, s, e = q.shape
-    tb = _pick_tile(b, s)
+def _block_specs(tb: int, e: int, s: int, n: int):
+    spec = pl.BlockSpec((tb, e, s), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return [spec] * n
+
+
+def _run_fwd(qt, kt, vt, num_heads, interpret):
+    b, e, s = qt.shape
+    tb = _pick_tile(b, e, s)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, num_heads=num_heads),
-        out_shape=jax.ShapeDtypeStruct((b, s, e), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, e, s), qt.dtype),
         grid=(_cdiv(b, tb),),
-        in_specs=_block_specs(tb, s, e, 3),
-        out_specs=_block_specs(tb, s, e, 1)[0],
+        in_specs=_block_specs(tb, e, s, 3),
+        out_specs=_block_specs(tb, e, s, 1)[0],
         compiler_params=_params(),
         interpret=interpret,
-    )(q, k, v)
+    )(qt, kt, vt)
 
 
-def _run_bwd(q, k, v, do, num_heads, interpret):
-    b, s, e = q.shape
-    tb = _pick_tile(b, s)
-    shape = jax.ShapeDtypeStruct((b, s, e), q.dtype)
+def _run_bwd(qt, kt, vt, do, num_heads, interpret):
+    b, e, s = qt.shape
+    tb = _pick_tile(b, e, s)
+    shape = jax.ShapeDtypeStruct((b, e, s), qt.dtype)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, num_heads=num_heads),
         out_shape=(shape, shape, shape),
         grid=(_cdiv(b, tb),),
-        in_specs=_block_specs(tb, s, e, 4),
-        out_specs=tuple(_block_specs(tb, s, e, 3)),
+        in_specs=_block_specs(tb, e, s, 4),
+        out_specs=tuple(_block_specs(tb, e, s, 3)),
         compiler_params=_params(),
         interpret=interpret,
-    )(q, k, v, do)
+    )(qt, kt, vt, do)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def fused_tiny_head_attention(q, k, v, num_heads: int = 8, interpret: bool = False):
-    """softmax(q k^T / sqrt(hd)) v per head; [B, S, E] -> [B, S, E]."""
-    return _run_fwd(q, k, v, num_heads, interpret)
+def fused_tiny_head_attention_t(qt, kt, vt, num_heads: int = 8,
+                                interpret: bool = False):
+    """Per-head softmax(q k^T / sqrt(hd)) v on E-MAJOR operands:
+    [B, E, S] -> [B, E, S]."""
+    return _run_fwd(qt, kt, vt, num_heads, interpret)
 
 
-def _vjp_fwd(q, k, v, num_heads, interpret):
-    return _run_fwd(q, k, v, num_heads, interpret), (q, k, v)
+def _vjp_fwd(qt, kt, vt, num_heads, interpret):
+    return _run_fwd(qt, kt, vt, num_heads, interpret), (qt, kt, vt)
 
 
 def _vjp_bwd(num_heads, interpret, res, g):
-    q, k, v = res
-    dq, dk, dv = _run_bwd(q, k, v, g, num_heads, interpret)
-    return dq, dk, dv
+    qt, kt, vt = res
+    return _run_bwd(qt, kt, vt, g, num_heads, interpret)
 
 
-fused_tiny_head_attention.defvjp(_vjp_fwd, _vjp_bwd)
+fused_tiny_head_attention_t.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def fused_tiny_head_attention(q, k, v, num_heads: int = 8,
+                              interpret: bool = False):
+    """S-major convenience wrapper: [B, S, E] -> [B, S, E] via the E-major
+    kernel (two transposes; prefer fused_tiny_head_attention_t when the
+    caller is already E-major, as ops/attention.py is)."""
+    out = fused_tiny_head_attention_t(
+        jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2),
+        num_heads, interpret,
+    )
+    return jnp.swapaxes(out, 1, 2)
 
 
 def mha_reference(q, k, v, num_heads: int):
