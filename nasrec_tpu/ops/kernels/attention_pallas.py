@@ -63,19 +63,50 @@ _C_T = (((2,), (2,)), ((0,), (0,)))   # [TB,E,T] x [TB,S,T] -> [TB,E,S]
 _C_S = (((2,), (1,)), ((0,), (0,)))   # [TB,E,S] x [TB,S,T] -> [TB,E,T]
 
 
+def _fold_factor(s: int, num_heads: int) -> int:
+    """Heads folded side-by-side into the lane axis of one dot.
+
+    Per-batch-row dots are MXU-ISSUE-bound at these sizes (~10 cycles per
+    tiny dot regardless of S; measured: the unfolded kernel's fwd cost was
+    flat-ish in S).  Masking k/v instead of q makes the per-head score
+    blocks independent along the OUTPUT lane axis, so F masked copies can
+    be stacked on lanes and one dot serves F heads — F·S <= 128 keeps the
+    stack within one lane tile (S=16 -> F=8 exactly fills 128 lanes)."""
+    f = num_heads
+    while f > 1 and (f * s > 128 or num_heads % f):
+        f -= 1
+    return max(1, f)
+
+
+def _masked_stack(x, num_heads, g, f):
+    """Lane-concat of head-masked copies: [TB,E,S] -> [TB,E,F*S]."""
+    e = x.shape[1]
+    return jnp.concatenate(
+        [x * _head_mask(e, num_heads, g * f + j) for j in range(f)], axis=2
+    )
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int):
     q = q_ref[:].astype(jnp.float32)      # [TB, E, S]
     k = k_ref[:].astype(jnp.float32)
     v = v_ref[:].astype(jnp.float32)
-    e = q.shape[1]
+    e, s = q.shape[1], q.shape[2]
+    f = _fold_factor(s, num_heads)
     scale = 1.0 / np.sqrt(e // num_heads)
     out = jnp.zeros_like(q)
-    for h in range(num_heads):
-        m = _head_mask(e, num_heads, h)
-        s = jax.lax.dot_general(q * m, k, _C_E, preferred_element_type=jnp.float32)
-        p = _softmax(s * scale)           # [TB, S, T], softmax over lanes
+    for g in range(num_heads // f):
+        kg = _masked_stack(k, num_heads, g, f)
+        sg = jax.lax.dot_general(q, kg, _C_E, preferred_element_type=jnp.float32)
+        # Per-head softmax on lane slices ([TB,S,F*S] holds F score blocks).
+        pg = jnp.concatenate(
+            [_softmax(sg[:, :, j * s:(j + 1) * s] * scale) for j in range(f)],
+            axis=2,
+        )
+        vg = _masked_stack(v, num_heads, g, f)
+        # Contract the full F*S lane axis: cross-head terms are zero by the
+        # v-side masks, so this sums the group's per-head outputs exactly.
         out = out + jax.lax.dot_general(
-            v * m, p, _C_T, preferred_element_type=jnp.float32
+            vg, pg, _C_T, preferred_element_type=jnp.float32
         )
     o_ref[:] = out.astype(o_ref.dtype)
 
@@ -86,28 +117,42 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
     k = k_ref[:].astype(jnp.float32)
     v = v_ref[:].astype(jnp.float32)
     do = do_ref[:].astype(jnp.float32)
-    e = q.shape[1]
+    e, s = q.shape[1], q.shape[2]
+    f = _fold_factor(s, num_heads)
     scale = 1.0 / np.sqrt(e // num_heads)
     dq = jnp.zeros_like(q)
     dk = jnp.zeros_like(q)
     dv = jnp.zeros_like(q)
-    for h in range(num_heads):
-        m = _head_mask(e, num_heads, h)
-        qm = q * m
-        s = jax.lax.dot_general(qm, k, _C_E, preferred_element_type=jnp.float32)
-        p = _softmax(s * scale)
-        dp = jax.lax.dot_general(do * m, v, _C_E,
-                                 preferred_element_type=jnp.float32)
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
+    for g in range(num_heads // f):
+        kg = _masked_stack(k, num_heads, g, f)
+        vg = _masked_stack(v, num_heads, g, f)
+        sg = jax.lax.dot_general(q, kg, _C_E, preferred_element_type=jnp.float32)
+        dpg = jax.lax.dot_general(do, vg, _C_E, preferred_element_type=jnp.float32)
+        p_parts, ds_parts = [], []
+        for j in range(f):
+            pj = _softmax(sg[:, :, j * s:(j + 1) * s] * scale)
+            dpj = dpg[:, :, j * s:(j + 1) * s]
+            ds_parts.append(
+                pj * (dpj - jnp.sum(dpj * pj, axis=-1, keepdims=True)) * scale
+            )
+            p_parts.append(pj)
+        pg = jnp.concatenate(p_parts, axis=2)
+        dsg = jnp.concatenate(ds_parts, axis=2)
+        # dq: contract the full lane stack (cross-head terms vanish by the
+        # k-side masks); the result lands pre-masked per head.
         dq = dq + jax.lax.dot_general(
-            k, ds, _C_T, preferred_element_type=jnp.float32
-        ) * m
-        dk = dk + jax.lax.dot_general(
-            qm, ds, _C_S, preferred_element_type=jnp.float32
-        ) * m
-        dv = dv + jax.lax.dot_general(
-            do * m, p, _C_S, preferred_element_type=jnp.float32
+            kg, dsg, _C_T, preferred_element_type=jnp.float32
         )
+        dk_full = jax.lax.dot_general(
+            q, dsg, _C_S, preferred_element_type=jnp.float32
+        )                                  # [TB, E, F*S]
+        dv_full = jax.lax.dot_general(
+            do, pg, _C_S, preferred_element_type=jnp.float32
+        )
+        for j in range(f):
+            m = _head_mask(e, num_heads, g * f + j)
+            dk = dk + dk_full[:, :, j * s:(j + 1) * s] * m
+            dv = dv + dv_full[:, :, j * s:(j + 1) * s] * m
     dq_ref[:] = dq.astype(dq_ref.dtype)
     dk_ref[:] = dk.astype(dk_ref.dtype)
     dv_ref[:] = dv.astype(dv_ref.dtype)
