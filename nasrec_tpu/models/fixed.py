@@ -31,19 +31,19 @@ from nasrec_tpu.models.embedding import (
     table_offsets,
 )
 from nasrec_tpu.ops import (
-    dot_product_apply,
+    dot_product_apply_flat,
     dot_product_init,
-    elastic_linear3d_apply,
+    elastic_linear3d_apply_flat,
     elastic_linear3d_init,
     elastic_linear_apply,
     elastic_linear_init,
-    fm3d_apply,
+    fm3d_apply_flat,
     fm3d_init,
     sigmoid_gating_apply,
     sigmoid_gating_init,
     sum_apply,
     sum_init,
-    transformer_apply,
+    transformer_apply_flat,
     transformer_init,
 )
 from nasrec_tpu.ops.common import linear_apply, linear_init, ln_apply, ln_init
@@ -241,17 +241,24 @@ def fixed_apply(
     compute_dtype=jnp.float32,
     stem_lookup=None,  # override for sharded tables (nasrec_tpu/parallel)
 ) -> jnp.ndarray:
-    """Forward pass of the fixed subnet -> logits [B, 1]."""
+    """Forward pass of the fixed subnet -> logits [B, 1].
+
+    Sparse activations flow in the FLAT slot-major [B, S*E] layout (see
+    ops/common.py): slot-axis concat, the ds-interact merge and the head
+    flatten are plain 2-D lane ops, and nothing materialises an
+    8x-lane-padded [B, S, 16] tensor between blocks."""
     offsets = table_offsets(plan.vocab_sizes)
     lookup = stem_lookup if stem_lookup is not None else embedding_stem_apply
     sparse_stem = lookup(params["embedding"], cat_x, offsets)
+    if sparse_stem.ndim == 3:  # [B, S, E] -> flat [B, S*E]
+        sparse_stem = sparse_stem.reshape(sparse_stem.shape[0], -1)
     dense_list = [dense_x.astype(compute_dtype)]
     sparse_list = [sparse_stem.astype(compute_dtype)]
 
     for i, bp in enumerate(plan.blocks):
         bparams = params["blocks"][i]
         dense_in = _gather_concat(dense_list, bp.dense_idx, axis=-1)
-        sparse_in = _gather_concat(sparse_list, bp.sparse_idx, axis=1)
+        sparse_in = _gather_concat(sparse_list, bp.sparse_idx, axis=-1)
         left_in = _gather_concat(dense_list, bp.left_idx, axis=-1)
         right_in = _gather_concat(dense_list, bp.right_idx, axis=-1)
 
@@ -268,8 +275,19 @@ def fixed_apply(
     flat_dense = (
         jnp.concatenate(dense_list[-n:], axis=-1) if n > 1 else dense_list[-1]
     )
-    sp = jnp.concatenate(sparse_list[-n:], axis=-1) if n > 1 else sparse_list[-1]
-    flat_sparse = sp.reshape(sp.shape[0], -1)
+    if n > 1:
+        # The reference concats the tail sparse outputs on the EMB axis
+        # before flattening (ref: supernet.py:657-660) — rebuild 3-D for the
+        # interleaved column order so final-linear weights stay
+        # transplant-compatible.
+        e = plan.emb_dim
+        tail = [
+            s.reshape(s.shape[0], s.shape[-1] // e, e) for s in sparse_list[-n:]
+        ]
+        sp = jnp.concatenate(tail, axis=-1)
+        flat_sparse = sp.reshape(sp.shape[0], -1)
+    else:
+        flat_sparse = sparse_list[-1]  # flat layout == the reference flatten
     feats = jnp.concatenate([flat_dense, flat_sparse], axis=-1)
     out = linear_apply(params["final"], feats).astype(jnp.float32)
     if plan.use_final_sigmoid:
@@ -278,6 +296,8 @@ def fixed_apply(
 
 
 def _make_block_fn(plan: FixedPlan, i: int, bp: BlockPlan):
+    e = plan.emb_dim
+
     def block_fn(bparams, dense_in, sparse_in, left_in, right_in):
         dtype = dense_in.dtype
         dense_outs, sparse_outs = [], []
@@ -297,21 +317,27 @@ def _make_block_fn(plan: FixedPlan, i: int, bp: BlockPlan):
             elif name == "sigmoid-gating":
                 dense_outs.append(sigmoid_gating_apply(np_, left_in, right_in, None))
             elif name == "dot-product":
-                dense_outs.append(dot_product_apply(np_, dense_in, sparse_in, None))
+                dense_outs.append(
+                    dot_product_apply_flat(
+                        np_, dense_in, sparse_in, bp.sparse_in, e, None
+                    )
+                )
             elif name == "transformer":
-                tf = functools.partial(transformer_apply, impl=plan.attention_impl)
+                tf = functools.partial(
+                    transformer_apply_flat, impl=plan.attention_impl
+                )
                 if plan.remat_attention and plan.attention_impl != "pallas":
-                    tf = jax.checkpoint(tf)
-                sparse_outs.append(tf(np_, sparse_in, None))
+                    tf = jax.checkpoint(tf, static_argnums=(2, 3))
+                sparse_outs.append(tf(np_, sparse_in, bp.sparse_in, e, None))
             elif name == "linear-3d":
                 sparse_outs.append(
-                    elastic_linear3d_apply(np_, sparse_in, plan.activation, None)
+                    elastic_linear3d_apply_flat(
+                        np_, sparse_in, bp.sparse_in, e, plan.activation, None
+                    )
                 )
             elif name == "zeros-3d":
                 sparse_outs.append(
-                    jnp.zeros(
-                        (sparse_in.shape[0], bp.sparse_dim, plan.emb_dim), dtype
-                    )
+                    jnp.zeros((sparse_in.shape[0], bp.sparse_dim * e), dtype)
                 )
             else:
                 raise NotImplementedError(name)
@@ -327,13 +353,17 @@ def _make_block_fn(plan: FixedPlan, i: int, bp: BlockPlan):
                     proj = ln_apply(bparams["ds_ln"], proj)
             else:
                 proj = dense_out
-            proj = proj.reshape(proj.shape[0], DS_INTERACT_NUM_SPLITS, plan.emb_dim)
+            # proj [B, 8*E] IS the slot-major flat of the 8 pseudo-slots the
+            # reference reshapes to [B, 8, E] (ref: supernet.py:1137-1161) —
+            # in the flat layout it concats onto the sparse output as-is.
 
         if bp.deep_fm:
-            dense_out = dense_out + fm3d_apply(bparams["deep_fm"], sparse_out, None)
+            dense_out = dense_out + fm3d_apply_flat(
+                bparams["deep_fm"], sparse_out, bp.sparse_dim, e, None
+            )
 
         if bp.interact:
-            sparse_out = jnp.concatenate([sparse_out, proj], axis=1)
+            sparse_out = jnp.concatenate([sparse_out, proj], axis=-1)
 
         return dense_out, sparse_out
 
@@ -343,8 +373,8 @@ def _make_block_fn(plan: FixedPlan, i: int, bp: BlockPlan):
 def fixed_apply_embedded(
     plan: FixedPlan, params: Dict, dense_x: jnp.ndarray, stem: jnp.ndarray, **kw
 ) -> jnp.ndarray:
-    """Forward with a precomputed [B,S,E] stem (host-offloaded embedding;
-    `params` needs no 'embedding' entry)."""
+    """Forward with a precomputed stem — [B, S, E] or already-flat [B, S*E]
+    (host-offloaded embedding; `params` needs no 'embedding' entry)."""
     p = dict(params)
     p.setdefault("embedding", {})
     return fixed_apply(plan, p, dense_x, stem, stem_lookup=lambda _p, s, _o: s, **kw)

@@ -41,19 +41,19 @@ from nasrec_tpu.models.embedding import (
     table_offsets,
 )
 from nasrec_tpu.ops import (
-    dot_product_apply,
+    dot_product_apply_flat,
     dot_product_init,
-    elastic_linear3d_apply,
+    elastic_linear3d_apply_flat,
     elastic_linear3d_init,
     elastic_linear_apply,
     elastic_linear_init,
-    fm3d_apply,
+    fm3d_apply_flat,
     fm3d_init,
     sigmoid_gating_apply,
     sigmoid_gating_init,
     sum_apply,
     sum_init,
-    transformer_apply,
+    transformer_apply_flat,
     transformer_init,
 )
 from nasrec_tpu.ops.common import linear_apply, linear_init, ln_apply, ln_init
@@ -193,6 +193,8 @@ def _block_apply(
     ddim = masks.dense_dim[i]
     sdim = masks.sparse_dim[i]
     dtype = dense_in.dtype
+    e = cfg.emb_dim
+    s_in = cfg.block_sparse_in(i)
 
     dense_outs: List[jnp.ndarray] = []
     sparse_outs: List[jnp.ndarray] = []
@@ -211,16 +213,18 @@ def _block_apply(
             o = sigmoid_gating_apply(np_, left_in, right_in, ddim)
             dense_outs.append(o * gate)
         elif name == "dot-product":
-            o = dot_product_apply(np_, dense_in, sparse_in, ddim)
+            o = dot_product_apply_flat(np_, dense_in, sparse_in, s_in, e, ddim)
             dense_outs.append(o * gate)
         elif name == "transformer":
-            tf = functools.partial(transformer_apply, impl=cfg.attention_impl)
+            tf = functools.partial(transformer_apply_flat, impl=cfg.attention_impl)
             if cfg.remat_attention and cfg.attention_impl != "pallas":
-                tf = jax.checkpoint(tf)
-            o = tf(np_, sparse_in, sdim)
+                tf = jax.checkpoint(tf, static_argnums=(2, 3))
+            o = tf(np_, sparse_in, s_in, e, sdim)
             sparse_outs.append(o * gate)
         elif name == "linear-3d":
-            o = elastic_linear3d_apply(np_, sparse_in, cfg.activation, sdim)
+            o = elastic_linear3d_apply_flat(
+                np_, sparse_in, s_in, e, cfg.activation, sdim
+            )
             sparse_outs.append(o * gate)
         else:
             raise NotImplementedError(name)
@@ -236,14 +240,15 @@ def _block_apply(
             proj = ln_apply(bp["ds_ln"], proj)
     else:
         proj = dense_out
-    proj = proj.reshape(proj.shape[0], DS_INTERACT_NUM_SPLITS, cfg.emb_dim)
+    # proj [B, 8*E] is already the slot-major flat of the 8 pseudo-slots
+    # (ref reshapes to [B, 8, E]; the flat layout concats it as-is).
     proj = proj * masks.interact[i].astype(dtype)
 
     # DeepFM: sparse -> dense residual (ref: supernet.py:1154-1157).
-    fm = fm3d_apply(bp["deep_fm"], sparse_out, ddim)
+    fm = fm3d_apply_flat(bp["deep_fm"], sparse_out, s.max_sparse_dim, e, ddim)
     dense_out = dense_out + fm * masks.deep_fm[i].astype(dtype)
 
-    sparse_out = jnp.concatenate([sparse_out, proj], axis=1)
+    sparse_out = jnp.concatenate([sparse_out, proj], axis=-1)
     return dense_out, sparse_out
 
 
@@ -257,16 +262,22 @@ def supernet_apply(
     compute_dtype=jnp.float32,
     stem_lookup=None,  # override for sharded tables (nasrec_tpu/parallel)
 ) -> jnp.ndarray:
-    """Forward pass -> logits [B, 1].  One compiled graph for every subnet."""
+    """Forward pass -> logits [B, 1].  One compiled graph for every subnet.
+
+    Sparse activations flow in the FLAT slot-major [B, S*E] layout (see
+    ops/common.py) — slot-axis selection/concat and the head flatten are
+    plain 2-D lane ops with no 8x-lane-padded [B, S, 16] tensors."""
     offsets = table_offsets(cfg.vocab_sizes)
     lookup = stem_lookup if stem_lookup is not None else embedding_stem_apply
     sparse_stem = lookup(params["embedding"], cat_x, offsets)
+    if sparse_stem.ndim == 3:  # [B, S, E] -> flat [B, S*E]
+        sparse_stem = sparse_stem.reshape(sparse_stem.shape[0], -1)
     dense_list = [dense_x.astype(compute_dtype)]
     sparse_list = [sparse_stem.astype(compute_dtype)]
 
     for i in range(cfg.num_blocks):
         dense_in = _masked_concat(dense_list, masks.dense_sel[i], axis=-1)
-        sparse_in = _masked_concat(sparse_list, masks.sparse_sel[i], axis=1)
+        sparse_in = _masked_concat(sparse_list, masks.sparse_sel[i], axis=-1)
         left_in = _masked_concat(dense_list, masks.left_sel[i], axis=-1)
         right_in = _masked_concat(dense_list, masks.right_sel[i], axis=-1)
         d_out, s_out = _block_apply(
@@ -277,8 +288,17 @@ def supernet_apply(
 
     n = cfg.last_n_blocks_out
     flat_dense = jnp.concatenate(dense_list[-n:], axis=-1) if n > 1 else dense_list[-1]
-    sp = jnp.concatenate(sparse_list[-n:], axis=-1) if n > 1 else sparse_list[-1]
-    flat_sparse = sp.reshape(sp.shape[0], -1)
+    if n > 1:
+        # Reference concats the tail sparse outputs on the EMB axis before
+        # flattening (ref: supernet.py:657-660): rebuild 3-D for the
+        # interleaved column order (transplant-compatible final weights).
+        e = cfg.emb_dim
+        tail = [
+            s.reshape(s.shape[0], s.shape[-1] // e, e) for s in sparse_list[-n:]
+        ]
+        flat_sparse = jnp.concatenate(tail, axis=-1).reshape(dense_x.shape[0], -1)
+    else:
+        flat_sparse = sparse_list[-1]  # flat layout == the reference flatten
     feats = jnp.concatenate([flat_dense, flat_sparse], axis=-1)
     out = linear_apply(params["final"], feats).astype(jnp.float32)
     if cfg.use_final_sigmoid:
@@ -290,8 +310,8 @@ def supernet_apply_embedded(
     cfg: SuperNetConfig, params: Dict, dense_x: jnp.ndarray, stem: jnp.ndarray,
     masks: ChoiceMasks, **kw
 ) -> jnp.ndarray:
-    """Forward with a precomputed [B,S,E] stem (host-offloaded embedding;
-    `params` needs no 'embedding' entry)."""
+    """Forward with a precomputed stem — [B, S, E] or already-flat [B, S*E]
+    (host-offloaded embedding; `params` needs no 'embedding' entry)."""
     p = dict(params)
     p.setdefault("embedding", {})
     return supernet_apply(

@@ -18,18 +18,22 @@ from nasrec_tpu.ops.linear import (
     elastic_linear_apply,
     elastic_linear3d_init,
     elastic_linear3d_apply,
+    elastic_linear3d_apply_flat,
 )
 from nasrec_tpu.ops.interactions import (
     dot_product_init,
     dot_product_apply,
+    dot_product_apply_flat,
     sum_init,
     sum_apply,
     sigmoid_gating_init,
     sigmoid_gating_apply,
     fm3d_init,
     fm3d_apply,
+    fm3d_apply_flat,
 )
 from nasrec_tpu.ops.attention import (
     transformer_init,
     transformer_apply,
+    transformer_apply_flat,
 )

@@ -30,9 +30,13 @@ from nasrec_tpu.ops.common import (
     Params,
     _xavier_uniform,
     apply_mask,
+    emajor_to_flat,
+    flat_to_emajor,
     linear_apply,
+    linear_apply_e,
     linear_init,
     ln_apply,
+    ln_apply_e,
     ln_init,
 )
 
@@ -93,22 +97,8 @@ def _mha(p: Params, x: jnp.ndarray, num_heads: int, impl: str = "xla") -> jnp.nd
     return jnp.dot(out, p["w_out"].astype(x.dtype)) + p["b_out"].astype(x.dtype)
 
 
-def _linear_e(w: jnp.ndarray, b: Optional[jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
-    """Feature linear on E-major [B, E, S]: contract the E (sublane) axis."""
-    y = jnp.einsum("ef,bes->bfs", w.astype(x.dtype), x)
-    if b is not None:
-        y = y + b.astype(x.dtype)[None, :, None]
-    return y
-
-
-def _ln_e(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
-    """LayerNorm over the E axis of E-major [B, E, S]; stats in f32."""
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=1, keepdims=True)
-    y = (xf - mean) * jax.lax.rsqrt(var + eps)
-    y = y * p["scale"][None, :, None] + p["bias"][None, :, None]
-    return y.astype(x.dtype)
+_linear_e = linear_apply_e
+_ln_e = ln_apply_e
 
 
 def _mha_t(p: Params, xt: jnp.ndarray, num_heads: int) -> jnp.ndarray:
@@ -126,6 +116,43 @@ def _mha_t(p: Params, xt: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     return _linear_e(p["w_out"], p["b_out"], out)
 
 
+def _transformer_emajor(
+    p: Params, xt: jnp.ndarray, slot_mask, num_heads: int
+) -> jnp.ndarray:
+    """Post-projection transformer body on E-major [B, E, out_slots]: every
+    [B, S, E] intermediate would pad E=16 -> 128 lanes (8x traffic); on
+    sublanes E is exactly two (8,128) tiles.  Same math as the S-major path
+    in `transformer_apply`."""
+    xt = apply_mask(xt, slot_mask, axis=2)    # mask slot axis (ref :653-662)
+    attn = _mha_t(p["mha"], xt, num_heads)
+    xt = _ln_e(p["attn_ln"], attn + xt)       # residual + LN(0.17) (ref :666-668)
+    h = jax.nn.relu(_linear_e(p["fc1"]["w"], p["fc1"].get("b"), xt))
+    h = _linear_e(p["fc2"]["w"], p["fc2"].get("b"), h)
+    xt = _ln_e(p["fc_ln"], xt + h)            # residual + LN(0.17) (ref :673-675)
+    return apply_mask(xt, slot_mask, axis=2)  # final slot mask (ref :678-686)
+
+
+def transformer_apply_flat(
+    p: Params,
+    sparse: jnp.ndarray,  # [B, S_in*E] slot-major flat
+    in_slots: int,
+    emb_dim: int,
+    slot_mask: Optional[jnp.ndarray] = None,
+    num_heads: int = NUM_MHA_HEADS,
+    impl: str = "xla",
+) -> jnp.ndarray:
+    """Flat-layout transformer: [B, S_in*E] -> [B, out_slots*E]."""
+    if impl != "pallas":
+        x3 = sparse.reshape(sparse.shape[0], in_slots, emb_dim)
+        out = transformer_apply(p, x3, slot_mask, num_heads, impl)
+        return out.reshape(out.shape[0], -1)
+    xt = flat_to_emajor(sparse, in_slots, emb_dim)   # [B, E, S_in]
+    xt = linear_apply(p["proj"], xt)                 # [B, E, out_slots]
+    if "proj_ln" in p:
+        xt = ln_apply(p["proj_ln"], xt)
+    return emajor_to_flat(_transformer_emajor(p, xt, slot_mask, num_heads))
+
+
 def transformer_apply(
     p: Params,
     sparse: jnp.ndarray,  # [B, S_in, E]
@@ -139,17 +166,9 @@ def transformer_apply(
         xt = ln_apply(p["proj_ln"], xt)
 
     if impl == "pallas":
-        # Stay E-major end-to-end: every [B, S, E] intermediate would pad
-        # E=16 -> 128 lanes (8x traffic); on sublanes E is exactly two
-        # (8,128) tiles.  Same math as the S-major path below.
-        xt = apply_mask(xt, slot_mask, axis=2)    # mask slot axis (ref :653-662)
-        attn = _mha_t(p["mha"], xt, num_heads)
-        xt = _ln_e(p["attn_ln"], attn + xt)       # residual + LN(0.17) (ref :666-668)
-        h = jax.nn.relu(_linear_e(p["fc1"]["w"], p["fc1"].get("b"), xt))
-        h = _linear_e(p["fc2"]["w"], p["fc2"].get("b"), h)
-        xt = _ln_e(p["fc_ln"], xt + h)            # residual + LN(0.17) (ref :673-675)
-        xt = apply_mask(xt, slot_mask, axis=2)    # final slot mask (ref :678-686)
-        return jnp.swapaxes(xt, 1, 2)
+        return jnp.swapaxes(
+            _transformer_emajor(p, xt, slot_mask, num_heads), 1, 2
+        )
 
     x = jnp.swapaxes(xt, 1, 2)                # [B, out_slots, E]
     x = apply_mask(x, slot_mask, axis=1)      # mask slot axis (ref :653-662)

@@ -85,3 +85,51 @@ def apply_mask(x: jnp.ndarray, mask: Optional[jnp.ndarray], axis: int = -1) -> j
     shape = [1] * x.ndim
     shape[axis] = mask.shape[0]
     return x * mask.reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# FLAT sparse layout [B, S*E] (slot-major flatten) and its E-major island
+# [B, E, S] for ops that contract the slot axis.
+#
+# Rationale (TPU memory tiles are (8, 128) on the last two dims): the naive
+# [B, S, 16] layout pads E=16 -> 128 lanes, so EVERY materialised sparse
+# activation costs 8x its logical bytes in HBM traffic.  The slot-major flat
+# 2-D layout pads only (S*E) -> next multiple of 128 (<= 1.3x for S >= 16),
+# and happens to make three model-level operations free:
+#   - concat along the slot axis   == concat along the last (lane) axis
+#   - the ds-interact merge        == concat of the [B, 8*E] projection as-is
+#   - the head's sparse flatten    == identity (the reference flattens
+#     S-major too, so final-linear weight order is transplant-compatible)
+# Ops that contract the slot axis (transformer / linear-3d / dot-product /
+# FM) convert to E-major [B, E, S] internally: E=16 is exactly two (8, 128)
+# sublane tiles and the slot contraction becomes an MXU-native dot.
+# ---------------------------------------------------------------------------
+
+
+def flat_to_emajor(x: jnp.ndarray, slots: int, emb_dim: int) -> jnp.ndarray:
+    """[B, S*E] slot-major flat -> E-major [B, E, S] (one fused XLA copy)."""
+    return x.reshape(x.shape[0], slots, emb_dim).swapaxes(1, 2)
+
+
+def emajor_to_flat(xt: jnp.ndarray) -> jnp.ndarray:
+    """E-major [B, E, S] -> slot-major flat [B, S*E]."""
+    b, e, s = xt.shape
+    return xt.swapaxes(1, 2).reshape(b, s * e)
+
+
+def linear_apply_e(w: jnp.ndarray, b: Optional[jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
+    """Feature linear on E-major [B, E, S]: contract the E (sublane) axis."""
+    y = jnp.einsum("ef,bes->bfs", w.astype(x.dtype), x)
+    if b is not None:
+        y = y + b.astype(x.dtype)[None, :, None]
+    return y
+
+
+def ln_apply_e(p: Params, x: jnp.ndarray, eps: float = LN_EPS) -> jnp.ndarray:
+    """LayerNorm over the E axis of E-major [B, E, S]; stats in f32."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"][None, :, None] + p["bias"][None, :, None]
+    return y.astype(x.dtype)

@@ -17,9 +17,12 @@ import jax.numpy as jnp
 from nasrec_tpu.ops.common import (
     Params,
     apply_mask,
+    flat_to_emajor,
     linear_apply,
+    linear_apply_e,
     linear_init,
     ln_apply,
+    ln_apply_e,
     ln_init,
 )
 
@@ -101,19 +104,55 @@ def dot_product_apply(
             yt = ln_apply(p["slot_ln"], yt)
         y = jnp.swapaxes(yt, 1, 2)                  # [B, slot_dim, E]
     t = jnp.concatenate([x[:, None, :], y], axis=1)  # [B, n, E]
-    n = t.shape[1]
     z = jnp.einsum("bne,bme->bnm", t, t)             # pairwise dots
+    return _dot_product_tail(p, z, dim_mask)
+
+
+def _dot_product_tail(p: Params, z: jnp.ndarray, dim_mask) -> jnp.ndarray:
     # Strict lower triangle, row-major (== flat[tril_flat_indices]): row i
     # contributes its first i entries, which are CONTIGUOUS — static slices
     # + one concat.  A flat gather of the n(n-1)/2 indices lowers to a
     # serialized per-index while-loop on TPU (~13 ms/step at n=40, batch
     # 32768, measured in the round-2 trace); slicing is pure layout.
+    n = z.shape[1]
     out = jnp.concatenate([z[:, i, :i] for i in range(1, n)], axis=1)
     if "out_proj" in p:
         out = linear_apply(p["out_proj"], out)
     if "out_ln" in p:
         out = ln_apply(p["out_ln"], out)
     return apply_mask(out, dim_mask)
+
+
+def dot_product_apply_flat(
+    p: Params,
+    dense: jnp.ndarray,   # [B, D]
+    sparse: jnp.ndarray,  # [B, S*E] slot-major flat
+    in_slots: int,
+    emb_dim: int,
+    dim_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Flat-layout DotProduct — same math as `dot_product_apply` but the
+    sparse operand goes straight to E-major [B, E, S]: the slot projection
+    contracts lanes, the pairwise scores contract the E sublane axis, and no
+    [B, S, E] tensor (E=16 pads 8x on lanes) is ever materialised."""
+    x = dense
+    if "dense_proj" in p:
+        x = linear_apply(p["dense_proj"], x)
+        if "dense_ln" in p:
+            x = ln_apply(p["dense_ln"], x)
+    yt = flat_to_emajor(sparse, in_slots, emb_dim)   # [B, F, S] feature-major
+    if "sparse_proj" in p:                            # contract the feature axis
+        q = p["sparse_proj"]
+        yt = linear_apply_e(q["w"], q.get("b"), yt)
+        if "sparse_ln" in p:
+            yt = ln_apply_e(p["sparse_ln"], yt)
+    if "slot_proj" in p:
+        yt = linear_apply(p["slot_proj"], yt)         # [B, E, slot_dim]
+        if "slot_ln" in p:
+            yt = ln_apply(p["slot_ln"], yt)
+    t = jnp.concatenate([x[:, :, None], yt], axis=2)  # [B, E, n]
+    z = jnp.einsum("ben,bem->bnm", t, t)              # pairwise dots
+    return _dot_product_tail(p, z, dim_mask)
 
 
 # ---------------------------------------------------------------------------
@@ -219,9 +258,34 @@ def fm3d_apply(
     s = jnp.sum(sparse, axis=1)
     square_of_sum = jnp.square(s)
     sum_of_square = jnp.sum(jnp.square(sparse), axis=1)
-    ix = square_of_sum - sum_of_square
+    return _fm3d_tail(p, square_of_sum - sum_of_square, dim_mask)
+
+
+def _fm3d_tail(p: Params, ix: jnp.ndarray, dim_mask) -> jnp.ndarray:
     if "proj" in p:
         ix = linear_apply(p["proj"], ix)
         if "ln" in p:
             ix = ln_apply(p["ln"], ix)
     return apply_mask(ix, dim_mask)
+
+
+def fm3d_apply_flat(
+    p: Params,
+    sparse: jnp.ndarray,  # [B, S*E] slot-major flat
+    in_slots: int,
+    emb_dim: int,
+    dim_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Flat-layout FM: the per-feature slot sums are one matmul with a static
+    [S*E, E] block-identity (K[s*E+e, e] = 1), so the reduction runs on the
+    MXU over the unpadded flat tensor instead of reshaping to [B, S, E]
+    (E=16 pads 8x on lanes)."""
+    k = np.kron(
+        np.ones((in_slots, 1), np.float32), np.eye(emb_dim, dtype=np.float32)
+    )
+    k = k.astype(sparse.dtype)
+    s = jnp.dot(sparse, k, preferred_element_type=sparse.dtype)
+    sum_of_square = jnp.dot(
+        jnp.square(sparse), k, preferred_element_type=sparse.dtype
+    )
+    return _fm3d_tail(p, jnp.square(s) - sum_of_square, dim_mask)

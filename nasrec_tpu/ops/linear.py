@@ -20,6 +20,8 @@ from nasrec_tpu.ops.common import (
     ACTIVATIONS,
     Params,
     apply_mask,
+    emajor_to_flat,
+    flat_to_emajor,
     linear_apply,
     linear_init,
     ln_apply,
@@ -65,9 +67,26 @@ def elastic_linear3d_apply(
     slot_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     xt = jnp.swapaxes(x, 1, 2)          # [B, E, S_in]
+    out = _linear3d_emajor(p, xt, activation, slot_mask)
+    return jnp.swapaxes(out, 1, 2)       # [B, out_slots, E]
+
+
+def _linear3d_emajor(p, xt, activation, slot_mask):
     out = linear_apply(p["linear"], xt)  # [B, E, out_slots]
     if "ln" in p:
         out = ln_apply(p["ln"], out)     # LN over the slot axis (ref :225-226)
     out = ACTIVATIONS[activation](out)
-    out = apply_mask(out, slot_mask)     # mask the slot axis (last after transpose)
-    return jnp.swapaxes(out, 1, 2)       # [B, out_slots, E]
+    return apply_mask(out, slot_mask)    # mask the slot axis (lanes in E-major)
+
+
+def elastic_linear3d_apply_flat(
+    p: Params,
+    x: jnp.ndarray,  # [B, S_in*E] slot-major flat
+    in_slots: int,
+    emb_dim: int,
+    activation: str = "relu",
+    slot_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Flat-layout ElasticLinear3D: [B, S_in*E] -> [B, out_slots*E]."""
+    xt = flat_to_emajor(x, in_slots, emb_dim)
+    return emajor_to_flat(_linear3d_emajor(p, xt, activation, slot_mask))

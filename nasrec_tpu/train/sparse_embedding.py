@@ -271,9 +271,14 @@ def make_sparse_embedding_train_step(
         grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
 
         if microbatch == 1:
-            stem = lookup(table, idx).reshape(cat.shape[0], cat.shape[1], -1)
+            looked = lookup(table, idx)                   # [B*S, E]
+            e_dim = looked.shape[-1]
+            # Hand the model the FLAT slot-major stem [B, S*E] (a contiguous
+            # row-major reshape) — the 3-D [B, S, E] form would pad E=16 ->
+            # 128 lanes (8x HBM traffic) just to be re-flattened inside.
+            stem = looked.reshape(cat.shape[0], cat.shape[1] * e_dim)
             (loss, (bce, logits)), (g_rest, g_stem) = grad_fn(rest, stem, dense, y)
-            g_stem_flat = g_stem.reshape(-1, stem.shape[-1])
+            g_stem_flat = g_stem.reshape(-1, e_dim)
         else:
             b_full, s = cat.shape
             assert b_full % microbatch == 0, (
@@ -284,7 +289,9 @@ def make_sparse_embedding_train_step(
             def micro(g_rest_acc, xs):
                 d_i, c_i, y_i = xs
                 idx_i = (c_i + jnp.asarray(offsets)[None, :]).reshape(-1)
-                stem_i = lookup(table, idx_i).reshape(b, s, -1)
+                looked_i = lookup(table, idx_i)           # [b*S, E]
+                e_dim = looked_i.shape[-1]
+                stem_i = looked_i.reshape(b, s * e_dim)   # flat slot-major
                 (loss_i, (bce_i, logits_i)), (g_rest_i, g_stem_i) = grad_fn(
                     rest, stem_i, d_i, y_i
                 )
@@ -292,7 +299,7 @@ def make_sparse_embedding_train_step(
                     lambda a, g: a + g, g_rest_acc, g_rest_i
                 )
                 return g_rest_acc, (
-                    g_stem_i.reshape(-1, stem_i.shape[-1]),
+                    g_stem_i.reshape(-1, e_dim),
                     loss_i, bce_i, logits_i,
                 )
 
