@@ -120,11 +120,11 @@ def main():
 
     state = pack_state_for_sweep(init_train_state(params, opt))
     sched = make_lr_schedule("cosine", 0.16, 10_000, 1_000)
-    # micro_batches=2: the batch-32k lane-padded block activations plus the
-    # sweep's update windows exceed HBM in one shot (15.25 GB peak vs 15.75
-    # available); two grad-accumulation slices halve the activation temps
-    # while the update math stays full-batch (tests/test_sparse_embedding.py).
-    micro = 2
+    # The flat slot-major activations fit batch 32768 in one shot (the old
+    # lane-padded [B, S, 16] layout needed micro_batches=2); measured 166.0
+    # vs 169.2 ms at micro=2 (experiments/probe_flat_micro.py).  65536 also
+    # fits one-shot in a fresh process (probe_large_batch.py).
+    micro = 1
     step = make_sparse_embedding_train_step(
         lambda p, d, s: fixed_apply_embedded(plan, p, d, s),
         opt, sched, table_offsets(vocab), grad_clip=5.0,

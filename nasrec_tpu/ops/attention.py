@@ -13,9 +13,14 @@ Reference semantics (ref: nasrec/supernet/modules.py:599-688):
 The two residual LayerNorms exist regardless of `use_layernorm`; only the
 projection LN is conditional (ref :622, :625, :630).
 
-At slot counts <= ~530 and E=16 this attention is tiny; a single fused XLA
-einsum chain is already bandwidth-optimal on TPU — no flash-attention needed
-(see SURVEY.md §5.7).
+Pallas path layout: the body runs BATCH-ON-LANES [E, S, B] end-to-end
+between one boundary transpose each way (~0.5 ms at [32768, 16, 64]).
+With head_dim 2 the attention math is outer-product/VPU work, and batch on
+the lane axis makes every op lane-parallel with no padding at any S that is
+a multiple of 8 (sparse_node_dims are 16..64) — see
+ops/kernels/attention_pallas.py for the kernel's generation history.  The
+feature linears (qkv/out/fc1/fc2) contract E=16 on the MAJOR axis: XLA
+lowers them as [E_out, E] x [E, S*B] single dots with a huge minor dim.
 """
 
 from __future__ import annotations
@@ -27,16 +32,13 @@ import jax.numpy as jnp
 
 from nasrec_tpu.config import LN_INIT, NUM_MHA_HEADS
 from nasrec_tpu.ops.common import (
+    LN_EPS,
     Params,
     _xavier_uniform,
     apply_mask,
-    emajor_to_flat,
-    flat_to_emajor,
     linear_apply,
-    linear_apply_e,
     linear_init,
     ln_apply,
-    ln_apply_e,
     ln_init,
 )
 
@@ -97,39 +99,53 @@ def _mha(p: Params, x: jnp.ndarray, num_heads: int, impl: str = "xla") -> jnp.nd
     return jnp.dot(out, p["w_out"].astype(x.dtype)) + p["b_out"].astype(x.dtype)
 
 
-_linear_e = linear_apply_e
-_ln_e = ln_apply_e
+def _linear_b(w: jnp.ndarray, b, x: jnp.ndarray) -> jnp.ndarray:
+    """Feature linear on b-major [E_in, S, B]: contract the major axis.
+    w is stored [E_in, E_out] (apply = x @ w in S-major terms)."""
+    y = jnp.einsum("ef,esb->fsb", w.astype(x.dtype), x)
+    if b is not None:
+        y = y + b.astype(x.dtype)[:, None, None]
+    return y
 
 
-def _mha_t(p: Params, xt: jnp.ndarray, num_heads: int) -> jnp.ndarray:
-    """Multi-head self-attention on E-MAJOR [B, E, S] via the fused Pallas
-    kernel — no [B, S, E] lane-padded tensors anywhere (E=16 pads 8x on
-    lanes; on sublanes it is exactly two (8,128) tiles)."""
-    from nasrec_tpu.ops.kernels.attention_pallas import fused_tiny_head_attention_t
-
-    qkv = _linear_e(p["w_in"], p["b_in"], xt)          # [B, 3E, S]
-    e = xt.shape[1]
-    q, k, v = qkv[:, :e], qkv[:, e:2 * e], qkv[:, 2 * e:]
-    out = fused_tiny_head_attention_t(
-        q, k, v, num_heads, jax.default_backend() != "tpu"
-    )
-    return _linear_e(p["w_out"], p["b_out"], out)
+def _ln_b(p: Params, x: jnp.ndarray, axis: int, eps: float = LN_EPS) -> jnp.ndarray:
+    """LayerNorm over `axis` of b-major [E, S, B]; stats in f32."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=axis, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=axis, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    shape = [1, 1, 1]
+    shape[axis] = x.shape[axis]
+    y = y * p["scale"].reshape(shape) + p["bias"].reshape(shape)
+    return y.astype(x.dtype)
 
 
-def _transformer_emajor(
-    p: Params, xt: jnp.ndarray, slot_mask, num_heads: int
+def _transformer_bmajor(
+    p: Params, xb: jnp.ndarray, slot_mask, num_heads: int
 ) -> jnp.ndarray:
-    """Post-projection transformer body on E-major [B, E, out_slots]: every
-    [B, S, E] intermediate would pad E=16 -> 128 lanes (8x traffic); on
-    sublanes E is exactly two (8,128) tiles.  Same math as the S-major path
-    in `transformer_apply`."""
-    xt = apply_mask(xt, slot_mask, axis=2)    # mask slot axis (ref :653-662)
-    attn = _mha_t(p["mha"], xt, num_heads)
-    xt = _ln_e(p["attn_ln"], attn + xt)       # residual + LN(0.17) (ref :666-668)
-    h = jax.nn.relu(_linear_e(p["fc1"]["w"], p["fc1"].get("b"), xt))
-    h = _linear_e(p["fc2"]["w"], p["fc2"].get("b"), h)
-    xt = _ln_e(p["fc_ln"], xt + h)            # residual + LN(0.17) (ref :673-675)
-    return apply_mask(xt, slot_mask, axis=2)  # final slot mask (ref :678-686)
+    """Post-projection transformer body on b-major [E, out_slots, B]."""
+    from nasrec_tpu.ops.kernels.attention_pallas import tiny_head_attention_bmajor
+
+    interpret = jax.default_backend() != "tpu"
+    xb = apply_mask(xb, slot_mask, axis=1)    # mask slot axis (ref :653-662)
+    qkv = _linear_b(p["mha"]["w_in"], p["mha"]["b_in"], xb)   # [3E, S, B]
+    attn = tiny_head_attention_bmajor(qkv, num_heads, interpret)
+    attn = _linear_b(p["mha"]["w_out"], p["mha"]["b_out"], attn)
+    xb = _ln_b(p["attn_ln"], attn + xb, axis=0)  # residual + LN(0.17) (ref :666-668)
+    h = jax.nn.relu(_linear_b(p["fc1"]["w"], p["fc1"].get("b"), xb))
+    h = _linear_b(p["fc2"]["w"], p["fc2"].get("b"), h)
+    xb = _ln_b(p["fc_ln"], xb + h, axis=0)    # residual + LN(0.17) (ref :673-675)
+    return apply_mask(xb, slot_mask, axis=1)  # final slot mask (ref :678-686)
+
+
+def _slot_proj_bmajor(p: Params, xb: jnp.ndarray) -> jnp.ndarray:
+    """Slot projection S_in -> out_slots on b-major [E, S_in, B]."""
+    y = jnp.einsum("esb,st->etb", xb, p["proj"]["w"].astype(xb.dtype))
+    if "b" in p["proj"]:
+        y = y + p["proj"]["b"].astype(xb.dtype)[None, :, None]
+    if "proj_ln" in p:
+        y = _ln_b(p["proj_ln"], y, axis=1)
+    return y
 
 
 def transformer_apply_flat(
@@ -146,11 +162,12 @@ def transformer_apply_flat(
         x3 = sparse.reshape(sparse.shape[0], in_slots, emb_dim)
         out = transformer_apply(p, x3, slot_mask, num_heads, impl)
         return out.reshape(out.shape[0], -1)
-    xt = flat_to_emajor(sparse, in_slots, emb_dim)   # [B, E, S_in]
-    xt = linear_apply(p["proj"], xt)                 # [B, E, out_slots]
-    if "proj_ln" in p:
-        xt = ln_apply(p["proj_ln"], xt)
-    return emajor_to_flat(_transformer_emajor(p, xt, slot_mask, num_heads))
+    b = sparse.shape[0]
+    x3 = sparse.reshape(b, in_slots, emb_dim)
+    xb = jnp.transpose(x3, (2, 1, 0))                # [E, S_in, B]
+    xb = _slot_proj_bmajor(p, xb)                    # [E, out_slots, B]
+    out = _transformer_bmajor(p, xb, slot_mask, num_heads)
+    return jnp.transpose(out, (2, 1, 0)).reshape(b, -1)
 
 
 def transformer_apply(
@@ -160,15 +177,16 @@ def transformer_apply(
     num_heads: int = NUM_MHA_HEADS,
     impl: str = "xla",
 ) -> jnp.ndarray:
-    xt = jnp.swapaxes(sparse, 1, 2)          # [B, E, S_in]
-    xt = linear_apply(p["proj"], xt)          # [B, E, out_slots]
+    if impl == "pallas":
+        xb = jnp.transpose(sparse, (2, 1, 0))        # [E, S_in, B]
+        xb = _slot_proj_bmajor(p, xb)
+        out = _transformer_bmajor(p, xb, slot_mask, num_heads)
+        return jnp.transpose(out, (2, 1, 0))
+
+    xt = jnp.swapaxes(sparse, 1, 2)           # [B, E, S_in]
+    xt = linear_apply(p["proj"], xt)
     if "proj_ln" in p:
         xt = ln_apply(p["proj_ln"], xt)
-
-    if impl == "pallas":
-        return jnp.swapaxes(
-            _transformer_emajor(p, xt, slot_mask, num_heads), 1, 2
-        )
 
     x = jnp.swapaxes(xt, 1, 2)                # [B, out_slots, E]
     x = apply_mask(x, slot_mask, axis=1)      # mask slot axis (ref :653-662)
