@@ -48,9 +48,12 @@ The sweep — a WINDOW-LINEARIZED grid:
     match torch Adagrad exactly — duplicates are summed upstream BEFORE
     squaring (ref: nasrec/main_train.py:151-154).
 
-Cost model: 8.6 GB table/acc stream + ~n*1KB window traffic at ~300 GB/s,
-with the one-hot MXU work (~0.4 GFLOP/window at 3 bf16 passes) overlapped
-by Pallas' grid pipelining.
+Cost model: table/acc stream over TOUCHED TILES ONLY (untouched tiles get
+zero grid steps — their aliased blocks are never DMA'd and pass through as
+raw memory) + ~n*1KB window traffic at ~300 GB/s, with the one-hot MXU work
+(~0.4 GFLOP/window at 3 bf16 passes) overlapped by Pallas' grid pipelining.
+Uniform flagship traffic touches every tile (full 8.6 GB stream); skewed
+CTR traffic pays only for the tiles it hits.
 """
 
 from __future__ import annotations
@@ -149,15 +152,23 @@ def _build_schedule(starts: jnp.ndarray, n_tiles: int, n: int, cw: int):
     super-row boundaries in the sorted update positions).  Returns int32
     [BUDGET] tables (tile_id, win_block, is_first, span_s, span_e) with
     BUDGET = ceil(n/cw) + 2*n_tiles + 1 — an upper bound on the windows any
-    distribution needs, since tile t uses max(1, ceil((e_t - align(s_t))/cw))
-    <= seg_t/cw + 2 steps.  Surplus steps get an empty span (s == e == 0) on
-    the LAST tile/window, so their block indices repeat (no DMA) and their
-    delta is exactly zero.
+    distribution needs, since a touched tile t uses
+    ceil((e_t - align(s_t))/cw) <= seg_t/cw + 2 steps.
+
+    UNTOUCHED tiles get ZERO steps: the grid never visits their blocks, so
+    no DMA is issued for them, and because the table/acc outputs alias their
+    inputs (donation or XLA's defensive copy both start the output buffer
+    from the input bytes) the unvisited regions pass through bit-exactly.
+    Under skewed CTR traffic this collapses the stream from the whole table
+    to the touched tiles.  Surplus steps get an empty span (s == e == 0) on
+    the LAST active tile/window, so their block indices repeat (no DMA;
+    that block was already written via its first step's copy-through) and
+    the kernel's span guard skips their compute entirely.
     """
     budget = -(-n // cw) + 2 * n_tiles + 1
     s, e = starts[:-1], starts[1:]
     aligned = (s // cw) * cw
-    n_win = jnp.maximum(1, -(-(e - aligned) // cw))          # [n_tiles]
+    n_win = jnp.where(e > s, -(-(e - aligned) // cw), 0)     # [n_tiles]
     steps_end = jnp.cumsum(n_win)
     g = jnp.arange(budget, dtype=jnp.int32)
     tile_id = jnp.searchsorted(steps_end, g, side="right").astype(jnp.int32)
@@ -171,6 +182,12 @@ def _build_schedule(starts: jnp.ndarray, n_tiles: int, n: int, cw: int):
     tile_id = jnp.where(active, t_c, jnp.take(t_c, last))
     win_block = jnp.where(active, win_block, jnp.take(win_block, last))
     is_first = (active & (w_local == 0)).astype(jnp.int32)
+    # All-sentinel input (a shard owning no touched rows): zero active steps
+    # would still flush step 0's (never-written) VMEM block at the end —
+    # force its copy-through so the flush is a bit-exact pass-through.
+    is_first = is_first.at[0].set(
+        jnp.where(steps_end[-1] == 0, 1, is_first[0])
+    )
     span_s = jnp.where(active, jnp.take(s, t_c), 0).astype(jnp.int32)
     span_e = jnp.where(active, jnp.take(e, t_c), 0).astype(jnp.int32)
     return tile_id, win_block.astype(jnp.int32), is_first, span_s, span_e
@@ -202,40 +219,45 @@ def _sweep_kernel(
         table_out[:] = table_ref[:]
         acc_out[:] = acc_ref[:]
 
-    u = u_ref[:]                          # [cw, 256]
-    seg = u[:, :LANES]                    # summed grads, lane-expanded
-    rel = u[:, LANES].astype(jnp.int32)   # super-row offset within tile
-    base = win_ref[g] * cw
-    pos = base + jax.lax.broadcasted_iota(jnp.int32, (cw, 1), 0)
-    span = (pos >= s) & (pos < e)         # column mask, broadcast below
-    sup_iota = jax.lax.broadcasted_iota(jnp.int32, (cw, K_TILE), 1)
-    a = ((rel[:, None] == sup_iota) & span).astype(jnp.bfloat16)
+    # Surplus steps (s == e) repeat the last active step's block indices:
+    # no DMA, and this guard skips their one-hot dot + update entirely.
+    @pl.when(s != e)
+    def _update():
+        u = u_ref[:]                          # [cw, 256]
+        seg = u[:, :LANES]                    # summed grads, lane-expanded
+        rel = u[:, LANES].astype(jnp.int32)   # super-row offset within tile
+        base = win_ref[g] * cw
+        pos = base + jax.lax.broadcasted_iota(jnp.int32, (cw, 1), 0)
+        span = (pos >= s) & (pos < e)         # column mask, broadcast below
+        sup_iota = jax.lax.broadcasted_iota(jnp.int32, (cw, K_TILE), 1)
+        a = ((rel[:, None] == sup_iota) & span).astype(jnp.bfloat16)
 
-    def dot(lhs, rhs):  # one bf16 MXU pass, f32 accumulate
-        return jax.lax.dot_general(
-            lhs, rhs, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        def dot(lhs, rhs):  # one bf16 MXU pass, f32 accumulate
+            return jax.lax.dot_general(
+                lhs, rhs, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
-    # Manual 3-pass split (Mosaic lowers only DEFAULT/HIGHEST dot
-    # precision): `a` is 0/1 (bf16-exact) and each output row receives at
-    # most one nonzero term per lane, so splitting `seg` into its exact bf16
-    # hi/mid/lo mantissa triple (8+8+8 of f32's 24 mantissa bits; each
-    # subtraction is Sterbenz-exact) and summing three single-pass dots
-    # reconstructs the f32 gradient EXACTLY at half the MXU cost of
-    # HIGHEST — and bf16 operands halve the scratch VMEM.
-    hi = seg.astype(jnp.bfloat16)
-    r1 = seg - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
-    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    d = (dot(a, hi) + dot(a, mid)) + dot(a, lo)       # [K_TILE, 128]
+        # Manual 3-pass split (Mosaic lowers only DEFAULT/HIGHEST dot
+        # precision): `a` is 0/1 (bf16-exact) and each output row receives at
+        # most one nonzero term per lane, so splitting `seg` into its exact
+        # bf16 hi/mid/lo mantissa triple (8+8+8 of f32's 24 mantissa bits;
+        # each subtraction is Sterbenz-exact) and summing three single-pass
+        # dots reconstructs the f32 gradient EXACTLY at half the MXU cost of
+        # HIGHEST — and bf16 operands halve the scratch VMEM.
+        hi = seg.astype(jnp.bfloat16)
+        r1 = seg - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        d = (dot(a, hi) + dot(a, mid)) + dot(a, lo)       # [K_TILE, 128]
 
-    # Incremental per-window application — exact: nonzero lanes are disjoint
-    # across a tile's windows (one nonzero position per vocab row, disjoint
-    # lane groups within a super-row), so cross-window terms vanish.
-    acc_new = acc_out[:] + d * d
-    acc_out[:] = acc_new
-    table_out[:] = table_out[:] - lr * d / (jnp.sqrt(acc_new) + eps)
+        # Incremental per-window application — exact: nonzero lanes are
+        # disjoint across a tile's windows (one nonzero position per vocab
+        # row, disjoint lane groups within a super-row), so cross-window
+        # terms vanish.
+        acc_new = acc_out[:] + d * d
+        acc_out[:] = acc_new
+        table_out[:] = table_out[:] - lr * d / (jnp.sqrt(acc_new) + eps)
 
 
 def _sweep_impl(table_p, acc_p, sup_rows, seg128, lr, *, eps, cw, interpret):

@@ -55,6 +55,44 @@ def _segment_last_sum(keys_sorted: jnp.ndarray, vals_sorted: jnp.ndarray):
     return seg, is_end
 
 
+def _slotwise_sort(idx2d: jnp.ndarray, g: jnp.ndarray):
+    """Sort fused-table indices by exploiting the slot partition.
+
+    idx2d: [B, S] where column s holds indices in [offsets[s], offsets[s+1])
+    — DISJOINT ranges, ascending with s (the fused-table layout guarantee).
+    Column-sorting and concatenating columns therefore yields a globally
+    non-decreasing stream, and one batched [B, S] argsort vectorizes across
+    the S independent columns — much cheaper on TPU than a flat [B*S]
+    argsort (the prep step's dominant cost at the flagship batch).
+
+    g: [B*S, E] in (b, s) row-major order (the stem-grad flatten).
+    Returns (rows_sorted [B*S], g_sorted [B*S, E])."""
+    b, s = idx2d.shape
+    order_b = jnp.argsort(idx2d, axis=0)                     # [B, S]
+    rows = jnp.take_along_axis(idx2d, order_b, axis=0)
+    rows = rows.T.reshape(-1)                                # slot-major
+    perm = (order_b * s
+            + jnp.arange(s, dtype=order_b.dtype)[None, :]).T.reshape(-1)
+    return rows, jnp.take(g, perm, axis=0)
+
+
+def rowwise_segment_sum_slotwise(idx2d: jnp.ndarray, g: jnp.ndarray):
+    """rowwise_segment_sum on slot-partitioned [B, S] indices (see
+    _slotwise_sort for the contract)."""
+    r, gs = _slotwise_sort(idx2d, g)
+    seg, is_end = _segment_last_sum(r, gs)
+    return r, seg, is_end
+
+
+def superrow_segment_sum_slotwise(idx2d: jnp.ndarray, g: jnp.ndarray):
+    """superrow_segment_sum on slot-partitioned [B, S] indices."""
+    from nasrec_tpu.ops.kernels.table_sweep_pallas import GROUP, lane_expand
+
+    r, gs = _slotwise_sort(idx2d, g)
+    seg16, is_end = _segment_last_sum(r, gs)
+    return r // GROUP, lane_expand(r, seg16), is_end
+
+
 def rowwise_segment_sum(rows: jnp.ndarray, g: jnp.ndarray):
     """Aggregate gradient contributions of duplicate rows (static shapes).
 
@@ -256,7 +294,8 @@ def make_sparse_embedding_train_step(
                 f"{table.shape} — convert the state with pack_state_for_sweep"
             )
         rest = {k: v for k, v in params.items() if k != "embedding"}
-        idx = (cat + jnp.asarray(offsets)[None, :]).reshape(-1)
+        idx2d = cat + jnp.asarray(offsets)[None, :]
+        idx = idx2d.reshape(-1)
 
         def loss_fn(rest_p, stem_in, dense_in, y_in):
             logits = (
@@ -325,9 +364,9 @@ def make_sparse_embedding_train_step(
         if table_update == "sweep":
             # Super-row granularity: lane-expanded per-row sums at each packed
             # super-row segment's last position — the sweep kernel's contract.
-            rows, seg, is_end = superrow_segment_sum(idx, g_stem_flat)
+            rows, seg, is_end = superrow_segment_sum_slotwise(idx2d, g_stem_flat)
         else:
-            rows, seg, is_end = rowwise_segment_sum(idx, g_stem_flat)
+            rows, seg, is_end = rowwise_segment_sum_slotwise(idx2d, g_stem_flat)
 
         if grad_clip is not None:
             sq_rest = sum(

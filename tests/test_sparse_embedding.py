@@ -16,7 +16,42 @@ from nasrec_tpu.train.loop import init_train_state
 from nasrec_tpu.train.sparse_embedding import (
     make_sparse_embedding_train_step,
     rowwise_segment_sum,
+    rowwise_segment_sum_slotwise,
+    superrow_segment_sum,
+    superrow_segment_sum_slotwise,
 )
+
+
+def test_slotwise_segment_sum_matches_global(rng):
+    """The batched per-column sort must produce the same aggregation as the
+    flat argsort when indices have the fused-table slot structure (column s
+    confined to [offsets[s], offsets[s+1]))."""
+    b, s = 64, 5
+    vocab = (7, 3, 11, 2, 9)
+    offsets = np.asarray(table_offsets(vocab), np.int32)
+    cat = np.stack([rng.randint(0, v, size=b) for v in vocab], 1).astype(np.int32)
+    idx2d = jnp.asarray(cat + offsets[None, :])
+    g = jnp.asarray(rng.randn(b * s, 16).astype(np.float32))
+
+    for glob, slot in (
+        (rowwise_segment_sum, rowwise_segment_sum_slotwise),
+        (superrow_segment_sum, superrow_segment_sum_slotwise),
+    ):
+        r_g, seg_g, _ = glob(idx2d.reshape(-1), g)
+        r_s, seg_s, is_end_s = slot(idx2d, g)
+        np.testing.assert_array_equal(np.asarray(r_s), np.asarray(r_g))
+
+        # same aggregation: scatter both to dense and compare (sort order
+        # among duplicates may differ, per-row sums must not)
+        def densify(r_, seg_):
+            dense = np.zeros((int(np.asarray(r_g).max()) + 1, seg_.shape[1]),
+                             np.float32)
+            np.add.at(dense, np.asarray(r_), np.asarray(seg_))
+            return dense
+
+        np.testing.assert_allclose(densify(r_s, seg_s), densify(r_g, seg_g),
+                                   rtol=1e-5, atol=1e-6)
+        assert np.asarray(is_end_s).sum() == len(np.unique(cat + offsets[None, :]))
 
 
 def test_rowwise_segment_sum_aggregates_duplicates(rng):

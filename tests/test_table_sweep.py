@@ -132,6 +132,34 @@ def test_sweep_skewed_hot_row(rng):
     _assert_match(arrs, touched)
 
 
+def test_sweep_all_sentinel_rows():
+    """Every row out of bounds (a shard owning no touched rows): zero
+    active steps; table/acc must pass through bit-exactly (the forced
+    step-0 copy-through guards the end-of-grid flush)."""
+    tp = 2 * tsp.K_TILE
+    rows = jnp.full((64,), tp + 5, jnp.int32)
+    seg = jnp.asarray(np.random.RandomState(1).randn(64, tsp.LANES), jnp.float32)
+    table = jnp.asarray(np.random.RandomState(2).randn(tp, tsp.LANES), jnp.float32)
+    acc = jnp.abs(table) + 0.25
+    table_np, acc_np = np.asarray(table), np.asarray(acc)
+    new_t, new_a = tsp.sweep_adagrad_update(table, acc, rows, seg, 0.1,
+                                            interpret=True)
+    np.testing.assert_array_equal(np.asarray(new_t), table_np)
+    np.testing.assert_array_equal(np.asarray(new_a), acc_np)
+
+
+def test_sweep_untouched_tiles_skipped_bit_exact(rng):
+    """Updates confined to the middle tile of three: the schedule gives the
+    outer tiles zero grid steps, and their blocks must pass through
+    bit-exactly via the input/output alias (no DMA at all)."""
+    tpad = 3 * tsp.ROWS_PER_TILE
+    idx = tsp.ROWS_PER_TILE + rng.randint(0, tsp.ROWS_PER_TILE, size=900)
+    arrs, touched = _run_case(idx, tpad)
+    assert not touched[: tsp.K_TILE].any()
+    assert not touched[2 * tsp.K_TILE:].any()
+    _assert_match(arrs, touched)
+
+
 def test_sweep_empty_update():
     """All-zero gradients: table/acc unchanged bit-exactly."""
     tp = tsp.K_TILE
