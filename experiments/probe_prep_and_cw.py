@@ -5,6 +5,9 @@ argsort of 852k keys) 20.6 ms; sweep update 35.4 ms at cw=256.
 Two candidate wins measured here:
   1. slotwise prep: one batched [B, 26] column argsort (disjoint ascending
      per-slot ranges make the concatenation globally sorted).
+     RESULT: SLOWER — 20.92 ms vs 18.52 ms global; the shorter sort does
+     not pay for the extra take_along_axis + permute-gather.  The train
+     step keeps the global argsort.
   2. sweep cw in {128, 256, 512, 1024}: MXU work per window scales with
      cw * K_TILE while the per-step overhead (~4.7 us on axon) scales with
      the step count ~ n/cw + 2 * n_tiles.
@@ -64,17 +67,20 @@ rows, seg, _ = jax.jit(superrow_segment_sum_slotwise)(idx2d, g)
 rows = jax.block_until_ready(rows)
 
 for cw in (128, 256, 512, 1024):
-    def run(tp, ap):
-        return tsp.sweep_adagrad_update(tp, ap, rows, seg, 0.05, cw=cw)
+    # rows/seg MUST be arguments, not closure constants: seg is 872 MB and
+    # a closure constant gets baked into the axon remote-compile request
+    # (HTTP 413) and re-fed per call.
+    def run(tp, ap, rr, ss, _cw=cw):
+        return tsp.sweep_adagrad_update(tp, ap, rr, ss, 0.05, cw=_cw)
     try:
         jf = jax.jit(run)  # donation happens inside sweep's own jit
-        t, a = jf(table_p, acc_p)
+        t, a = jf(table_p, acc_p, rows, seg)
         jax.block_until_ready(t)
 
-        def run_k(kk, _t=[table_p], _a=[acc_p]):
+        def run_k(kk):
             tt, aa = table_p, acc_p
             for _ in range(kk):
-                tt, aa = jf(tt, aa)
+                tt, aa = jf(tt, aa, rows, seg)
             jax.device_get(tt[0, 0])
 
         run_k(2)

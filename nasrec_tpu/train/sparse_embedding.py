@@ -61,9 +61,13 @@ def _slotwise_sort(idx2d: jnp.ndarray, g: jnp.ndarray):
     idx2d: [B, S] where column s holds indices in [offsets[s], offsets[s+1])
     — DISJOINT ranges, ascending with s (the fused-table layout guarantee).
     Column-sorting and concatenating columns therefore yields a globally
-    non-decreasing stream, and one batched [B, S] argsort vectorizes across
-    the S independent columns — much cheaper on TPU than a flat [B*S]
-    argsort (the prep step's dominant cost at the flagship batch).
+    non-decreasing stream via one batched [B, S] argsort.
+
+    MEASURED SLOWER than the flat [B*S] argsort at the flagship shapes
+    (20.9 vs 18.5 ms, experiments/probe_prep_and_cw.py): the shorter sort
+    length does not pay for the extra take_along_axis + permute-gather.
+    Kept as the segment-sum reference for slot-partitioned inputs and for
+    its equivalence test; the train step uses the global-sort variants.
 
     g: [B*S, E] in (b, s) row-major order (the stem-grad flatten).
     Returns (rows_sorted [B*S], g_sorted [B*S, E])."""
@@ -294,8 +298,7 @@ def make_sparse_embedding_train_step(
                 f"{table.shape} — convert the state with pack_state_for_sweep"
             )
         rest = {k: v for k, v in params.items() if k != "embedding"}
-        idx2d = cat + jnp.asarray(offsets)[None, :]
-        idx = idx2d.reshape(-1)
+        idx = (cat + jnp.asarray(offsets)[None, :]).reshape(-1)
 
         def loss_fn(rest_p, stem_in, dense_in, y_in):
             logits = (
@@ -364,9 +367,9 @@ def make_sparse_embedding_train_step(
         if table_update == "sweep":
             # Super-row granularity: lane-expanded per-row sums at each packed
             # super-row segment's last position — the sweep kernel's contract.
-            rows, seg, is_end = superrow_segment_sum_slotwise(idx2d, g_stem_flat)
+            rows, seg, is_end = superrow_segment_sum(idx, g_stem_flat)
         else:
-            rows, seg, is_end = rowwise_segment_sum_slotwise(idx2d, g_stem_flat)
+            rows, seg, is_end = rowwise_segment_sum(idx, g_stem_flat)
 
         if grad_clip is not None:
             sq_rest = sum(
