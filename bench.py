@@ -148,6 +148,18 @@ def main():
     rates_u, state = _measure(step, uniform_batches, state, bench_steps)
     rates_z, state = _measure(step, make_batches("zipf"), state, bench_steps)
 
+    # AMP variant (ref use_amp, main_train.py:210): model body in bf16,
+    # embedding table + optimizer math in f32.  Reported alongside the f32
+    # headline; numerics pinned by tests/test_mesh_workloads.py.
+    step_amp = make_sparse_embedding_train_step(
+        lambda p, d, s: fixed_apply_embedded(
+            plan, p, d, s, compute_dtype=jnp.bfloat16
+        ),
+        opt, sched, table_offsets(vocab), grad_clip=5.0,
+        table_update="sweep", microbatch=micro,
+    )
+    rates_amp, state = _measure(step_amp, uniform_batches, state, bench_steps)
+
     examples_per_sec = rates_u[len(rates_u) // 2]  # median window
     step_s = batch / examples_per_sec
 
@@ -199,6 +211,7 @@ def main():
                 "step_ms": round(step_s * 1e3, 3),
                 "windows_uniform": [round(r, 1) for r in rates_u],
                 "zipf_median": round(rates_z[len(rates_z) // 2], 1),
+                "amp_bf16_median": round(rates_amp[len(rates_amp) // 2], 1),
                 "dot_mflops_per_example": round(flops_step / batch / 1e6, 3),
                 "xla_cost_mflops_per_example":
                     round(cost["flops"] / batch / 1e6, 3),

@@ -260,13 +260,21 @@ def _sweep_kernel(
         table_out[:] = table_out[:] - lr * d / (jnp.sqrt(acc_new) + eps)
 
 
-def _sweep_impl(table_p, acc_p, sup_rows, seg128, lr, *, eps, cw, interpret):
+def _sweep_impl(table_p, acc_p, sup_rows, seg128, lr, row_offset, *,
+                eps, cw, interpret):
     tp, lanes = table_p.shape
     assert lanes == LANES and tp % K_TILE == 0, (tp, lanes)
     n_tiles = tp // K_TILE
     n = sup_rows.shape[0]
 
-    boundaries = jnp.arange(n_tiles + 1, dtype=jnp.int32) * K_TILE
+    # row_offset > 0: `table_p` is one row-shard of a larger table and
+    # `sup_rows` carry GLOBAL super-row ids — the shard's tile boundaries
+    # are searchsorted into the global sorted stream, so positions owned by
+    # other shards fall outside every span and are never applied.  The
+    # window payload's rel-super-row (sup % K_TILE) stays valid because the
+    # offset is a K_TILE multiple (shards hold whole tiles).
+    boundaries = (jnp.arange(n_tiles + 1, dtype=jnp.int32) * K_TILE
+                  + jnp.asarray(row_offset, jnp.int32))
     starts = jnp.searchsorted(sup_rows, boundaries).astype(jnp.int32)
     tile_id, win_block, is_first, span_s, span_e = _build_schedule(
         starts, n_tiles, n, cw
@@ -338,13 +346,18 @@ def sweep_adagrad_update(
                             #   (and clip-scaled) grads, zero off segment
                             #   ends
     lr,
+    row_offset=0,           # global super-row id of this table's first row
+                            #   (row-sharded tables; MUST be a K_TILE
+                            #   multiple — shards hold whole tiles).  Global
+                            #   positions outside [row_offset, row_offset +
+                            #   TP) are skipped, not applied.
     *,
     eps: float = 1e-2,
     cw: int = CW,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One streaming-sweep application of the touched-row adagrad update."""
-    return _sweep_impl(table_p, acc_p, sup_rows, seg128, lr,
+    return _sweep_impl(table_p, acc_p, sup_rows, seg128, lr, row_offset,
                        eps=eps, cw=cw, interpret=interpret)
 
 

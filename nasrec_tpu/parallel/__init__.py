@@ -8,4 +8,10 @@ from nasrec_tpu.parallel.train import (
     make_parallel_train_step,
     shard_train_state,
 )
-from nasrec_tpu.parallel.sparse import make_parallel_sparse_train_step
+from nasrec_tpu.parallel.sparse import (
+    make_parallel_sparse_train_step,
+    make_sharded_packed_stem_lookup,
+    pack_table_for_mesh,
+    sweep_rows_per_shard,
+    unpack_table_from_mesh,
+)

@@ -18,6 +18,18 @@ Data flow per step (shard_map over the full mesh):
      as the forward psum — and the table/accumulator traffic stays
      O(touched rows) per shard.
 
+table_update="sweep" swaps both table paths for the streaming-sweep Pallas
+kernel on the per-shard PACKED [rows_local/8, 128] layout
+(ops/kernels/table_sweep_pallas.py; 5.3x faster than the scatter pair at
+flagship scale single-chip): the forward gathers super-rows shard-locally
+(+psum), and each shard runs ONE sweep over its own tiles with
+row_offset = shard * sup_local — its tile boundaries searchsorted into the
+GLOBAL sorted update stream, so other shards' positions are skipped, not
+applied, and per-shard results concatenate to exactly the single-chip sweep
+(tests/test_table_sweep.py::test_sweep_row_offset_shards_reproduce_full_table).
+Shards hold whole kernel tiles: pad with `sweep_rows_per_shard` /
+`pack_table_for_mesh`.
+
 The reference has no distributed analogue (SURVEY.md §2.9); this is the
 BASELINE north-star path (config #5: multi-host Criteo full-embedding train
 with sharded tables).
@@ -40,7 +52,90 @@ from nasrec_tpu.train.optim import Optimizer, l2_penalty
 from nasrec_tpu.train.sparse_embedding import (
     rowwise_segment_sum,
     sparse_adagrad_table_update,
+    superrow_segment_sum,
 )
+
+
+# --- sweep-packed row sharding ----------------------------------------------
+
+
+def sweep_rows_per_shard(total_vocab: int, num_shards: int) -> int:
+    """Vocab rows per model shard, padded so every shard holds WHOLE sweep
+    tiles (the kernel's row_offset contract)."""
+    from nasrec_tpu.ops.kernels.table_sweep_pallas import ROWS_PER_TILE
+
+    return -(-total_vocab // (num_shards * ROWS_PER_TILE)) * ROWS_PER_TILE
+
+
+def pack_table_for_mesh(table: jnp.ndarray, num_shards: int) -> jnp.ndarray:
+    """[T, 16] -> sweep-packed [num_shards*per/8, 128] where shard m's
+    contiguous slice is pack_rows of global vocab rows [m*per, (m+1)*per).
+    Padding lives at the global END (vocab-row numbering is unchanged), so
+    `idx` built from table_offsets stays valid."""
+    from nasrec_tpu.ops.kernels.table_sweep_pallas import pack_rows
+
+    t, e = table.shape
+    per = sweep_rows_per_shard(t, num_shards)
+    pad = per * num_shards - t
+    if pad:
+        table = jnp.concatenate(
+            [table, jnp.zeros((pad, e), table.dtype)], axis=0
+        )
+    return jnp.concatenate(
+        [pack_rows(table[m * per:(m + 1) * per]) for m in range(num_shards)],
+        axis=0,
+    )
+
+
+def unpack_table_from_mesh(
+    packed: jnp.ndarray, total_vocab: int, num_shards: int
+) -> jnp.ndarray:
+    """Inverse of pack_table_for_mesh: back to [total_vocab, 16]."""
+    from nasrec_tpu.ops.kernels.table_sweep_pallas import GROUP, unpack_rows
+
+    per = sweep_rows_per_shard(total_vocab, num_shards)
+    sup_per = per // GROUP
+    parts = [
+        unpack_rows(packed[m * sup_per:(m + 1) * sup_per], per)
+        for m in range(num_shards)
+    ]
+    return jnp.concatenate(parts, axis=0)[:total_vocab]
+
+
+def _packed_lookup_shard(table_p_local: jnp.ndarray, idx: jnp.ndarray):
+    """Per-shard packed-table lookup: gather owned super-rows (lane-select),
+    zero the rest, psum over `model` — the packed twin of _lookup_shard."""
+    from nasrec_tpu.ops.kernels.table_sweep_pallas import (
+        EMB, GROUP, packed_lookup,
+    )
+
+    rows_local = table_p_local.shape[0] * GROUP
+    shard = jax.lax.axis_index("model")
+    local = idx - shard * rows_local
+    owned = (local >= 0) & (local < rows_local)
+    safe = jnp.clip(local, 0, rows_local - 1)
+    out = packed_lookup(table_p_local, safe.reshape(-1))
+    out = out.reshape(*idx.shape, EMB)
+    out = out * owned[..., None].astype(out.dtype)
+    return jax.lax.psum(out, "model")
+
+
+def make_sharded_packed_stem_lookup(mesh: Mesh):
+    """Sweep-packed twin of parallel.embedding.make_sharded_stem_lookup:
+    lookup(params, cat_x, offsets) -> [B, S, E] with the PACKED table
+    sharded P("model", None) and the batch P("data", None)."""
+    mapped = shard_map(
+        _packed_lookup_shard,
+        mesh=mesh,
+        in_specs=(P("model", None), P("data", None)),
+        out_specs=P("data", None, None),
+    )
+
+    def lookup(params, cat_x, offsets):
+        idx = cat_x + jnp.asarray(offsets)[None, :]
+        return mapped(params["table"], idx)
+
+    return lookup
 
 
 def make_parallel_sparse_train_step(
@@ -56,13 +151,24 @@ def make_parallel_sparse_train_step(
     l2_exclude: Optional[str] = None,
     has_masks: bool = False,
     donate: bool = True,
+    table_update: str = "scatter",   # "scatter" | "sweep"
+    sweep_interpret: Optional[bool] = None,
 ):
     """jitted step(state, dense, cat, y[, masks]) with the table and its
-    adagrad accumulator sharded P("model", None) and the batch P("data")."""
+    adagrad accumulator sharded P("model", None) and the batch P("data").
+
+    table_update="sweep" requires the state's table/accumulator in the
+    per-shard packed layout (pack_table_for_mesh); results match the
+    scatter path up to FMA contraction."""
     offsets = np.asarray(offsets, np.int32)
+    if table_update not in ("scatter", "sweep"):
+        raise ValueError(f"unknown table_update {table_update!r}")
+    sweep = table_update == "sweep"
+    if sweep and sweep_interpret is None:
+        sweep_interpret = jax.default_backend() != "tpu"
 
     lookup = shard_map(
-        _lookup_shard,
+        _packed_lookup_shard if sweep else _lookup_shard,
         mesh=mesh,
         in_specs=(P("model", None), P("data", None)),
         out_specs=P("data", None, None),
@@ -70,20 +176,36 @@ def make_parallel_sparse_train_step(
 
     def _update_shard(table_local, acc_local, idx_local, g_local, sq_rest, lr):
         """Per-(data, model)-shard body: aggregate the global batch's
-        embedding grads, clip, scatter-update owned rows."""
+        embedding grads, clip, update owned rows (scatter or sweep)."""
         idx_g = jax.lax.all_gather(idx_local.reshape(-1), "data", tiled=True)
         g_g = jax.lax.all_gather(
             g_local.reshape(-1, g_local.shape[-1]), "data", tiled=True
         )
-        rows, seg, is_end = rowwise_segment_sum(idx_g, g_g)
+        if sweep:
+            rows, seg, is_end = superrow_segment_sum(idx_g, g_g)
+        else:
+            rows, seg, is_end = rowwise_segment_sum(idx_g, g_g)
+        # sum(seg^2) equals the dense-table grad norm in both layouts (lane
+        # expansion keeps each vocab row's sum in its own lane group).
         sq_emb = jnp.sum(jnp.square(seg))
         if grad_clip is not None:
             norm = jnp.sqrt(sq_rest + sq_emb)
             scale = jnp.minimum(1.0, grad_clip / (norm + 1e-6))
         else:
             scale = jnp.float32(1.0)
-        rows_local = table_local.shape[0]
         shard = jax.lax.axis_index("model")
+        if sweep:
+            from nasrec_tpu.ops.kernels.table_sweep_pallas import (
+                sweep_adagrad_update,
+            )
+
+            new_table, new_acc = sweep_adagrad_update(
+                table_local, acc_local, rows, seg * scale, lr,
+                shard * table_local.shape[0],
+                eps=adagrad_eps, interpret=sweep_interpret,
+            )
+            return new_table, new_acc, scale
+        rows_local = table_local.shape[0]
         local = rows - shard * rows_local
         owned = (local >= 0) & (local < rows_local)
         safe = jnp.clip(local, 0, rows_local - 1)

@@ -146,25 +146,34 @@ def _unpad_params(params, vocab):
 
 
 def _shard_state_for_mesh(params, opt, mesh_model: int, start_step: int = 0,
-                          opt_state=None):
-    """Pad the fused table, build the mesh, place a sharded TrainState."""
+                          opt_state=None, sweep_packed: bool = False):
+    """Pad the fused table, build the mesh, place a sharded TrainState.
+
+    sweep_packed=True converts the table (and any restored accumulator) to
+    the per-shard sweep-packed layout (parallel.pack_table_for_mesh) instead
+    of plain row padding — the table_update='sweep' mesh contract."""
     from nasrec_tpu.parallel import (
         make_mesh,
+        pack_table_for_mesh,
         pad_table_for_sharding,
         shard_train_state,
     )
 
+    def prep(emb_params):
+        if sweep_packed:
+            return {**emb_params,
+                    "table": pack_table_for_mesh(emb_params["table"], mesh_model)}
+        return pad_table_for_sharding(emb_params, mesh_model)
+
     mesh = make_mesh(model=mesh_model)
     params = dict(params)
-    params["embedding"] = pad_table_for_sharding(params["embedding"], mesh_model)
+    params["embedding"] = prep(params["embedding"])
     state = init_train_state(params, opt)
     if opt_state is not None:
         opt_state = jax.tree_util.tree_map(jnp.asarray, opt_state)
         if isinstance(opt_state, dict) and "embedding" in opt_state:
             opt_state = dict(opt_state)
-            opt_state["embedding"] = pad_table_for_sharding(
-                opt_state["embedding"], mesh_model
-            )
+            opt_state["embedding"] = prep(opt_state["embedding"])
         state = dataclasses.replace(state, opt_state=opt_state)
     state = dataclasses.replace(state, step=jnp.asarray(start_step, jnp.int32))
     return mesh, shard_train_state(state, mesh)
@@ -330,12 +339,10 @@ def train_fixed_subnet(
     opt = make_optimizer(train.optimizer)
     if train.table_update not in ("scatter", "sweep"):
         raise ValueError(f"unknown table_update {train.table_update!r}")
-    if train.table_update == "sweep" and (
-        train.mesh_model > 0 or train.place_embedding_on_cpu
-    ):
+    if train.table_update == "sweep" and train.place_embedding_on_cpu:
         raise ValueError(
-            "table_update='sweep' is a single-chip device-table path "
-            "(not compatible with mesh_model / place_embedding_on_cpu)"
+            "table_update='sweep' is a device-table path "
+            "(not compatible with place_embedding_on_cpu)"
         )
     packed_eval = False   # True when the state holds the sweep-packed table
     if train.mesh_model > 0:
@@ -344,17 +351,31 @@ def train_fixed_subnet(
         from nasrec_tpu.parallel import (
             make_parallel_sparse_train_step,
             make_parallel_train_step,
+            make_sharded_packed_stem_lookup,
             make_sharded_stem_lookup,
         )
 
-        mesh, state = _shard_state_for_mesh(params, opt, train.mesh_model)
-        lookup = make_sharded_stem_lookup(mesh)
+        if train.table_update == "sweep":
+            if not _use_sparse_embedding(train):
+                raise ValueError(
+                    "table_update='sweep' requires the sparse-embedding path "
+                    "(adagrad, wd=0 or sparse_embedding=True)"
+                )
+            mesh, state = _shard_state_for_mesh(
+                params, opt, train.mesh_model, sweep_packed=True
+            )
+            lookup = make_sharded_packed_stem_lookup(mesh)
+            packed_eval = True
+        else:
+            mesh, state = _shard_state_for_mesh(params, opt, train.mesh_model)
+            lookup = make_sharded_stem_lookup(mesh)
         if _use_sparse_embedding(train):
             step = make_parallel_sparse_train_step(
                 lambda p, d, s: fixed_apply_embedded(plan, p, d, s, compute_dtype=cdt),
                 opt, sched, mesh, table_offsets(vocab),
                 grad_clip=train.grad_clip,
                 l2_reg=train.wd, l2_exclude=train.no_reg_param_name,
+                table_update=train.table_update,
             )
         else:
             step = make_parallel_train_step(
@@ -470,14 +491,22 @@ def train_fixed_subnet(
     writer.close()
 
     if packed_eval:  # sweep layout -> standard [vocab, 16] checkpoint format
-        from nasrec_tpu.ops.kernels.table_sweep_pallas import unpack_rows
+        if train.mesh_model > 0:
+            from nasrec_tpu.parallel import unpack_table_from_mesh
 
+            table_std = unpack_table_from_mesh(
+                state.params["embedding"]["table"], int(sum(vocab)),
+                train.mesh_model,
+            )
+        else:
+            from nasrec_tpu.ops.kernels.table_sweep_pallas import unpack_rows
+
+            table_std = unpack_rows(
+                state.params["embedding"]["table"], int(sum(vocab))
+            )
         saved_params = dict(state.params)
         saved_params["embedding"] = {
-            **state.params["embedding"],
-            "table": unpack_rows(
-                state.params["embedding"]["table"], int(sum(vocab))
-            ),
+            **state.params["embedding"], "table": table_std,
         }
         saved_params = jax.device_get(saved_params)
     else:
@@ -555,6 +584,16 @@ def train_supernet(
         train.lr_schedule, train.learning_rate, num_train_steps, num_warmup
     )
     opt = make_optimizer(train.optimizer)
+    if train.table_update != "scatter":
+        # Explicit rather than silently ignored: the sweep's full-tile stream
+        # only beats the touched-row scatter at large batches (>= ~10k
+        # positions per tile); the canonical supernet batch is 512, where
+        # the scatter pair costs ~1.4 ms.  Use sweep on the fixed-subnet
+        # workloads (train_fixed_subnet / bench.py), not here.
+        raise ValueError(
+            "train_supernet supports table_update='scatter' only "
+            "(sweep targets large-batch fixed-subnet training)"
+        )
     start_step = 0
     resume_opt_state = None
     if sn.checkpoint_path:

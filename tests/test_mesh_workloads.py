@@ -115,6 +115,69 @@ def test_parallel_sparse_step_matches_single_device(rng):
     np.testing.assert_array_equal(pad, np.zeros_like(pad))
 
 
+@requires_8dev
+def test_parallel_sparse_sweep_step_matches_single_device(rng):
+    """dp=4 x tp=2 SWEEP-update step == single-device scatter sparse step
+    (same batches, same model): the per-shard streaming sweep with
+    row_offset reproduces exact torch-adagrad semantics under sharding."""
+    from nasrec_tpu.parallel import pack_table_for_mesh, unpack_table_from_mesh
+
+    mesh = make_mesh(model=2, data=4)
+    choice = get_best_arch("criteo-kaggle", "autoctr")
+    vocab = tuple([37] * 26)  # 962 rows -> 2 shards x 16384 rows (1 tile each)
+    plan = build_fixed_plan(
+        choice, OPS_CONFIG_LIB["autoctr"], 7, 13, 26, vocab, use_layernorm=False
+    )
+    params = fixed_init(jax.random.PRNGKey(0), plan)
+    opt = make_optimizer("adagrad")
+    offsets = table_offsets(vocab)
+    sched = lambda s: jnp.asarray(0.1)
+    batches = list(synthetic_batches(32, 16, SyntheticSpec(vocab=37), seed=0))
+
+    state1 = init_train_state(params, opt)
+    step1 = make_sparse_embedding_train_step(
+        lambda p, d, s: fixed_apply_embedded(plan, p, d, s),
+        opt, sched, offsets, donate=False,
+    )
+    for d, c, y in batches:
+        state1, m1 = step1(state1, d, c, y)
+
+    params_sw = dict(params)
+    params_sw["embedding"] = {
+        **params["embedding"],
+        "table": pack_table_for_mesh(params["embedding"]["table"], 2),
+    }
+    state8 = shard_train_state(init_train_state(params_sw, opt), mesh)
+    step8 = make_parallel_sparse_train_step(
+        lambda p, d, s: fixed_apply_embedded(plan, p, d, s),
+        opt, sched, mesh, offsets, donate=False, table_update="sweep",
+    )
+    for d, c, y in batches:
+        state8, m8 = step8(state8, d, c, y)
+
+    assert float(m1["loss"]) == pytest.approx(float(m8["loss"]), rel=1e-5)
+    rows = state1.params["embedding"]["table"].shape[0]
+    got_table = unpack_table_from_mesh(
+        state8.params["embedding"]["table"], rows, 2
+    )
+    got_acc = unpack_table_from_mesh(
+        state8.opt_state["embedding"]["table"], rows, 2
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_table), np.asarray(state1.params["embedding"]["table"]),
+        rtol=1e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_acc), np.asarray(state1.opt_state["embedding"]["table"]),
+        rtol=1e-4, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(state8.params["final"]["w"]),
+        np.asarray(state1.params["final"]["w"]),
+        rtol=1e-4, atol=1e-6,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Mesh-mode workloads (the --mesh_model path)
 # ---------------------------------------------------------------------------
@@ -137,6 +200,26 @@ def test_train_fixed_subnet_mesh(tmp_path):
     with open(tmp_path / "checkpoint.pkl", "rb") as f:
         ckpt = pickle.load(f)
     assert ckpt["params"]["embedding"]["table"].shape[0] == 26 * 1000
+
+
+@requires_8dev
+def test_train_fixed_subnet_mesh_sweep(tmp_path):
+    """--mesh_model 2 --table_update sweep end-to-end: trains, evals through
+    the packed sharded lookup, and saves a standard-layout checkpoint."""
+    choice = get_best_arch("criteo-kaggle", "autoctr")
+    payload = {**choice, "config": "autoctr", "num_blocks": 7}
+    out = train_fixed_subnet(
+        payload, _data(),
+        _train(mesh_model=2, table_update="sweep", logging_dir=str(tmp_path)),
+        log_fn=lambda s: None,
+    )
+    logs = out["logs"][0]
+    assert logs["test_loss"] and np.isfinite(logs["test_loss"][-1])
+    import pickle
+
+    with open(tmp_path / "checkpoint.pkl", "rb") as f:
+        ckpt = pickle.load(f)
+    assert ckpt["params"]["embedding"]["table"].shape == (26 * 1000, 16)
 
 
 @requires_8dev

@@ -248,3 +248,44 @@ def test_sweep_requires_packed_table():
     d, c, y = next(iter(synthetic_batches(8, 8, SyntheticSpec(vocab=8), seed=0)))
     with pytest.raises(ValueError, match="pack_state_for_sweep"):
         step(state, d, c, y)
+
+
+def test_sweep_row_offset_shards_reproduce_full_table(rng):
+    """Row-sharded sweep (parallel/sparse.py): per-shard calls with
+    `row_offset` over the SAME global sorted stream must reproduce the
+    full-table sweep bit-exactly — each shard's tile boundaries are
+    searchsorted into the global stream, so positions owned by other
+    shards fall outside every span and are skipped, and the window
+    alignment within an owned tile is identical to the full-table call."""
+    tpad = 4 * tsp.ROWS_PER_TILE
+    n = 3000
+    idx = rng.randint(0, tpad, size=n)
+    g = rng.randn(n, 16).astype(np.float32)
+    sup_rows, seg128, _ = superrow_segment_sum(
+        jnp.asarray(idx, jnp.int32), jnp.asarray(g)
+    )
+    tp = tpad // tsp.GROUP
+    table_np = rng.randn(tp, tsp.LANES).astype(np.float32)
+    acc_np = np.abs(rng.randn(tp, tsp.LANES)).astype(np.float32)
+
+    full_t, full_a = tsp.sweep_adagrad_update(
+        jnp.asarray(table_np), jnp.asarray(acc_np), sup_rows, seg128, 0.07,
+        interpret=True,
+    )
+    full_t, full_a = np.asarray(full_t), np.asarray(full_a)
+
+    for shards in (2, 4):
+        per = tp // shards
+        assert per % tsp.K_TILE == 0
+        parts = [
+            tsp.sweep_adagrad_update(
+                jnp.asarray(table_np[m * per:(m + 1) * per]),
+                jnp.asarray(acc_np[m * per:(m + 1) * per]),
+                sup_rows, seg128, 0.07, m * per, interpret=True,
+            )
+            for m in range(shards)
+        ]
+        got_t = np.concatenate([np.asarray(t) for t, _ in parts], axis=0)
+        got_a = np.concatenate([np.asarray(a) for _, a in parts], axis=0)
+        np.testing.assert_array_equal(got_t, full_t)
+        np.testing.assert_array_equal(got_a, full_a)
