@@ -65,7 +65,13 @@ def _pick_tile(b: int, e: int, s: int, n_io: int, k_transient: int) -> int:
     for t in (1024, 512, 256, 128):
         if t * per_lane <= VMEM_BUDGET:
             return min(t, max(128, b))
-    return 128
+    # Every post-projection slot count in the search spaces is <= 64
+    # (config.sparse_node_dims), far inside the budget; fail loudly rather
+    # than hand Mosaic a tile that exceeds vmem_limit_bytes.
+    raise ValueError(
+        f"attention kernel: no batch tile fits VMEM at S={s} "
+        f"(per-lane bytes {per_lane}); use attention_impl='xla' for this shape"
+    )
 
 
 def _params():

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from nasrec_tpu.train.loop import TrainState
 from nasrec_tpu.train.metrics import bce_with_logits
-from nasrec_tpu.train.optim import Optimizer
+from nasrec_tpu.train.optim import Optimizer, l2_penalty
 
 
 class HostEmbedding:
@@ -65,12 +65,17 @@ def make_host_offload_train_step(
     host_emb: HostEmbedding,
     *,
     grad_clip: float | None = 5.0,
+    l2_reg: float = 0.0,
+    l2_exclude: str | None = None,
     has_masks: bool = False,
 ):
     """Returns step(state, dense, cat, y[, masks]) advancing both device params
     and the host table.  `apply_embedded(params, dense, stem)` must treat
     `stem` as the [B,S,E] embedding output (models' apply with a precomputed
-    stem)."""
+    stem).  L2 is an explicit loss term over the device-resident params, the
+    same set the on-device sparse step regularises (the table is excluded
+    there too); the host table update itself is hard-coded Adagrad, so
+    callers must reject other optimizers rather than silently diverge."""
 
     @jax.jit
     def device_grads(params, dense, stem, y, masks=None):
@@ -80,16 +85,17 @@ def make_host_offload_train_step(
                 if has_masks
                 else apply_embedded(p, dense, s)
             )
-            return bce_with_logits(logits, y), logits
+            bce = bce_with_logits(logits, y)
+            return bce + l2_penalty(p, l2_reg, l2_exclude), (bce, logits)
 
-        (loss, logits), (gp, gs) = jax.value_and_grad(
+        (loss, (bce, logits)), (gp, gs) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
         )(params, stem)
         sq = sum(
             jnp.sum(jnp.square(l.astype(jnp.float32)))
             for l in jax.tree_util.tree_leaves(gp)
         )
-        return loss, logits, gp, gs, sq
+        return loss, bce, logits, gp, gs, sq
 
     @jax.jit
     def device_update(params, opt_state, grads, scale, lr):
@@ -99,7 +105,7 @@ def make_host_offload_train_step(
     def step(state: TrainState, dense, cat, y, masks=None):
         cat = np.asarray(cat)
         stem = jnp.asarray(host_emb.lookup(cat))
-        loss, logits, gp, gs, sq_dense = device_grads(
+        loss, bce, logits, gp, gs, sq_dense = device_grads(
             state.params, dense, stem, y, masks
         )
         rows, row_grads, sq_emb = host_emb.grad_rows(cat, jax.device_get(gs))
@@ -115,7 +121,7 @@ def make_host_offload_train_step(
         host_emb.apply_grad(rows, row_grads, lr, scale)
         return (
             TrainState(new_params, new_opt, state.step + 1),
-            {"loss": loss, "l2": jnp.zeros(()), "lr": lr, "logits": logits},
+            {"loss": bce, "l2": loss - bce, "lr": lr, "logits": logits},
         )
 
     return step

@@ -132,13 +132,22 @@ def chained_rate(run_k: Callable[[int], None], k1: int, k2: int) -> float:
     `block_until_ready` acknowledges enqueue, not completion — timing it
     reports dispatch rate, up to ~30x faster than the hardware.  A device_get
     of a scalar is a true barrier; its fixed round-trip cost cancels in the
-    two-window slope."""
-    t0 = time.perf_counter()
-    run_k(k1)
-    t1 = time.perf_counter()
-    run_k(k2)
-    t2 = time.perf_counter()
-    return ((t2 - t1) - (t1 - t0)) / (k2 - k1)
+    two-window slope.
+
+    Host/tunnel interference can stall the small window and push the slope
+    non-positive; such windows are re-measured (up to 3x) rather than
+    silently reported, with the raw large-window rate — an upper bound that
+    still includes the RTT — as the last-resort fallback."""
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_k(k1)
+        t1 = time.perf_counter()
+        run_k(k2)
+        t2 = time.perf_counter()
+        slope = ((t2 - t1) - (t1 - t0)) / (k2 - k1)
+        if slope > 0.0:
+            return slope
+    return (t2 - t1) / k2
 
 
 def cost_analysis_of(jitted_fn, *args) -> dict:
@@ -180,6 +189,6 @@ def measure_latency(
     k2 = max(num_trials // num_windows, 4)
     k1 = max(k2 // 4, 1)
     lat = np.asarray(
-        [max(chained_rate(run_k, k1, k2), 0.0) for _ in range(num_windows)]
+        [chained_rate(run_k, k1, k2) for _ in range(num_windows)]
     )
     return float(lat.mean()), float(lat.std())

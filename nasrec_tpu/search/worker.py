@@ -218,7 +218,7 @@ def _make_batched_whole_evaluator(
     axis, and the group advances as ONE vmapped jitted step (closing the ~Kx
     throughput gap of the sequential path; ref --finetune_whole_supernet,
     eval_subnet_from_supernet.py:116-122)."""
-    from nasrec_tpu.train.loop import freeze_mask
+    from nasrec_tpu.train.loop import freeze_mask_bools
 
     mode = {"whole": "normal", "layernorm-calibrate": "layernorm-calibrate"}[
         finetune_mode
@@ -226,7 +226,12 @@ def _make_batched_whole_evaluator(
     sched = make_lr_schedule(
         lr_schedule, learning_rate, max_train_steps, max_train_steps // 10
     )
-    trainable = None if mode == "normal" else freeze_mask(supernet_params, mode)
+    # Static python-bool tree: baked into the jit at trace time.  An ARRAY
+    # mask tree here would be a device-array closure constant (re-fed per
+    # call on the axon runtime — and it includes a table-sized leaf).
+    trainable = (
+        None if mode == "normal" else freeze_mask_bools(supernet_params, mode)
+    )
 
     def one_loss(params, masks, dense, cat, y):
         return bce_with_logits(supernet_apply(cfg, params, dense, cat, masks), y)
@@ -234,7 +239,10 @@ def _make_batched_whole_evaluator(
     def one_step(params, acc, masks, dense, cat, y, lr):
         loss, g = jax.value_and_grad(one_loss)(params, masks, dense, cat, y)
         if trainable is not None:
-            g = jax.tree_util.tree_map(lambda gg, m: gg * m, g, trainable)
+            g = jax.tree_util.tree_map(
+                lambda gg, keep: gg if keep else jnp.zeros_like(gg),
+                g, trainable,
+            )
         g = clip_by_global_norm(g, grad_clip)
         new_acc = jax.tree_util.tree_map(lambda a, gg: a + jnp.square(gg), acc, g)
         new_params = jax.tree_util.tree_map(

@@ -47,8 +47,12 @@ def init_train_state(params, optimizer: Optimizer) -> TrainState:
     )
 
 
-def freeze_mask(params, mode: str):
-    """0/1 pytree selecting trainable params.
+def freeze_mask_bools(params, mode: str):
+    """Python-bool pytree selecting trainable params (True = trainable).
+
+    Being plain bools, the tree is safe to bake into a jitted step as a
+    static closure (a device-array mask tree would be re-fed per call on
+    remote runtimes — the CLAUDE.md closure rule).
 
     Modes mirror the reference's fine-tune switches
     (ref: nasrec/supernet/supernet.py:850-873):
@@ -64,24 +68,30 @@ def freeze_mask(params, mode: str):
     def decide(path, leaf):
         keys = path_keys(path)
         if mode == "normal":
-            keep = True
-        elif mode == "final-only":
-            keep = keys[0] == "final"
-        elif mode == "no-embedding":
-            keep = keys[0] != "embedding"
-        elif mode == "layernorm-calibrate":
+            return True
+        if mode == "final-only":
+            return keys[0] == "final"
+        if mode == "no-embedding":
+            return keys[0] != "embedding"
+        if mode == "layernorm-calibrate":
             # Structural: a LayerNorm param is any leaf held by a dict whose
             # key is "ln" or ends in "_ln" (ops/common.ln_init callers); the
             # exact trainable leaf set is pinned by
             # tests/test_train.py::test_freeze_mask_layernorm_calibrate_leaf_set.
-            keep = keys[0] == "blocks" and any(
+            return keys[0] == "blocks" and any(
                 k == "ln" or k.endswith("_ln") for k in keys[:-1]
             )
-        else:
-            raise ValueError(f"unknown freeze mode {mode}")
-        return jnp.ones_like(leaf) if keep else jnp.zeros_like(leaf)
+        raise ValueError(f"unknown freeze mode {mode}")
 
     return jax.tree_util.tree_map_with_path(decide, params)
+
+
+def freeze_mask(params, mode: str):
+    """0/1 array pytree selecting trainable params (see freeze_mask_bools)."""
+    return jax.tree_util.tree_map(
+        lambda keep, leaf: jnp.ones_like(leaf) if keep else jnp.zeros_like(leaf),
+        freeze_mask_bools(params, mode), params,
+    )
 
 
 def make_train_step(

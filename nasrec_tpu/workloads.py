@@ -232,6 +232,38 @@ def _compute_dtype(train: TrainOptions):
     return jnp.bfloat16 if train.compute_dtype in ("bf16", "bfloat16") else jnp.float32
 
 
+def _validate_train_options(train: TrainOptions) -> None:
+    """Reject silently-conflicting option combinations up front."""
+    if train.mesh_model > 0 and train.place_embedding_on_cpu:
+        raise ValueError(
+            "place_embedding_on_cpu and mesh_model are mutually exclusive: "
+            "the mesh path shards the table over device HBM"
+        )
+    if train.mesh_model > 0 and train.micro_batches > 1:
+        raise ValueError(
+            "micro_batches > 1 is not supported with mesh_model: shard the "
+            "batch over the data axis (more chips) or lower the batch size"
+        )
+    if train.place_embedding_on_cpu and train.micro_batches > 1:
+        raise ValueError(
+            "micro_batches > 1 is not supported with place_embedding_on_cpu"
+        )
+    if train.place_embedding_on_cpu and train.optimizer != "adagrad":
+        raise ValueError(
+            "place_embedding_on_cpu trains the host table with Adagrad "
+            f"(ref semantics); optimizer={train.optimizer!r} would silently "
+            "diverge from the on-device run — use adagrad or keep the table "
+            "on device"
+        )
+    if train.place_embedding_on_cpu and train.wd > 0.0:
+        raise ValueError(
+            "place_embedding_on_cpu cannot apply the L2 loss term to the "
+            "host-resident table (that would be a dense full-table update "
+            "per step); wd > 0 would silently diverge from the on-device "
+            "run — use wd=0 with offload"
+        )
+
+
 def _train_steps_per_epoch(data: DataOptions, train: TrainOptions) -> int:
     if train.max_train_steps != -1:
         return train.max_train_steps
@@ -344,6 +376,7 @@ def train_fixed_subnet(
             "table_update='sweep' is a device-table path "
             "(not compatible with place_embedding_on_cpu)"
         )
+    _validate_train_options(train)
     packed_eval = False   # True when the state holds the sweep-packed table
     if train.mesh_model > 0:
         from nasrec_tpu.models.embedding import table_offsets
@@ -407,6 +440,7 @@ def train_fixed_subnet(
         step = make_host_offload_train_step(
             lambda p, d, s: fixed_apply_embedded(plan, p, d, s, compute_dtype=cdt),
             opt, sched, host_emb, grad_clip=train.grad_clip,
+            l2_reg=train.wd, l2_exclude=train.no_reg_param_name,
         )
         embedded_eval = make_eval_step(
             lambda p, d, s: fixed_apply_embedded(plan, p, d, s, compute_dtype=cdt)
@@ -594,6 +628,7 @@ def train_supernet(
             "train_supernet supports table_update='scatter' only "
             "(sweep targets large-batch fixed-subnet training)"
         )
+    _validate_train_options(train)
     start_step = 0
     resume_opt_state = None
     if sn.checkpoint_path:
@@ -654,6 +689,7 @@ def train_supernet(
         step = make_host_offload_train_step(
             lambda p, d, s, m: supernet_apply_embedded(cfg, p, d, s, m, compute_dtype=cdt),
             opt, sched, host_emb, grad_clip=train.grad_clip, has_masks=True,
+            l2_reg=train.wd, l2_exclude=train.no_reg_param_name,
         )
         embedded_eval = make_eval_step(
             lambda p, d, s, m: supernet_apply_embedded(cfg, p, d, s, m, compute_dtype=cdt),
@@ -834,6 +870,7 @@ def evaluate_choices_from_supernet(
         ckpt = load_any_checkpoint(so.ckpt_path)
         supernet_params = jax.tree_util.tree_map(jnp.asarray, ckpt["params"])
     else:
+        log_fn("WARNING: no supernet checkpoint; scoring against RANDOM weights")
         supernet_params = supernet_init(jax.random.PRNGKey(so.seed), cfg)
 
     train_iter_fn, test_iter_fn = _make_iterators(data)

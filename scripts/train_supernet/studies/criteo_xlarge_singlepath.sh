@@ -10,7 +10,6 @@ python -u -m nasrec_tpu.cli.train_supernet \
     --learning_rate $LR \
     --train_batch_size 512 \
     --strategy single-path \
-    --singlepath_choice binomial-0.5 \
     --test_batch_size 2048 \
     --use_layernorm 1 \
     --supernet_training_steps 15000 \

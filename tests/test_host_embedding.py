@@ -85,3 +85,30 @@ def test_load_embedding_from_checkpoint(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(seeded["final"]["w"]), np.asarray(target["final"]["w"])
     )
+
+
+def test_host_offload_l2_term_over_device_params():
+    """l2_reg adds the explicit L2 loss over the device-resident params
+    (the table is excluded, as in the on-device sparse step); metrics split
+    it out the same way ({"loss": bce, "l2": penalty})."""
+    from nasrec_tpu.train.optim import l2_penalty
+
+    plan = _plan()
+    params = fixed_init(jax.random.PRNGKey(0), plan)
+    opt = make_optimizer("adagrad")
+    lr = lambda s: jnp.asarray(0.1)
+    spec = SyntheticSpec(vocab=64)
+    d, c, y = next(iter(synthetic_batches(32, 32, spec, seed=0)))
+
+    offsets = table_offsets(plan.vocab_sizes)
+    host_emb = HostEmbedding(np.asarray(params["embedding"]["table"]), offsets)
+    dev_params = {k: v for k, v in params.items() if k != "embedding"}
+    state = init_train_state(dev_params, opt)
+    step = make_host_offload_train_step(
+        lambda p, d_, s: fixed_apply_embedded(plan, p, d_, s), opt, lr,
+        host_emb, grad_clip=5.0, l2_reg=1e-3,
+    )
+    _, m = step(state, d, c, y)
+    expect = float(l2_penalty(dev_params, 1e-3))
+    assert float(m["l2"]) == pytest.approx(expect, rel=1e-5)
+    assert float(m["loss"]) > 0.0

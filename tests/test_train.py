@@ -276,3 +276,25 @@ def test_freeze_mask_layernorm_calibrate_leaf_set():
     # weights or the embedding/final layers are trainable
     assert any(s.endswith("ln/scale") for s in want)
     assert not any("/w" in s or s.startswith(("embedding", "final")) for s in got)
+
+
+def test_freeze_mask_bools_matches_array_masks():
+    """The static bool tree (safe to bake into a jit) selects exactly the
+    same leaves as the array-mask tree, for every mode."""
+    from nasrec_tpu.train.loop import freeze_mask_bools
+
+    params = {
+        "embedding": {"table": jnp.ones((4, 2))},
+        "blocks": [{"nodes": [{"linear": {"w": jnp.ones((2, 2))}}],
+                    "attn_ln": {"scale": jnp.ones((2,)), "bias": jnp.ones((2,))}}],
+        "final": {"w": jnp.ones((3, 1)), "b": jnp.ones((1,))},
+    }
+    for mode in ("normal", "final-only", "no-embedding", "layernorm-calibrate"):
+        bools = freeze_mask_bools(params, mode)
+        arrays = freeze_mask(params, mode)
+        flat_b = jax.tree_util.tree_leaves(bools)
+        flat_a = jax.tree_util.tree_leaves(arrays)
+        assert len(flat_b) == len(flat_a)
+        for b, a in zip(flat_b, flat_a):
+            assert isinstance(b, bool)
+            assert b == bool(np.all(np.asarray(a) == 1.0))

@@ -290,3 +290,30 @@ def test_eval_best_candidates_topk_launcher(tmp_path):
     losses = [r["val_loss"] for r in ranked]
     assert losses == sorted(losses) and all(np.isfinite(losses))
     assert (tmp_path / "runs" / "summary_host0.json").exists()
+
+
+def test_conflicting_train_options_raise():
+    """Option combinations that would silently diverge must fail fast."""
+    import dataclasses
+
+    choice = get_best_arch("criteo-kaggle", "autoctr")
+    payload = {"macro": choice["macro"], "micro": choice["micro"],
+               "config": "autoctr", "num_blocks": 7}
+    base = _train(steps=2)
+    bad = [
+        dataclasses.replace(base, mesh_model=2, place_embedding_on_cpu=True),
+        dataclasses.replace(base, mesh_model=2, micro_batches=2),
+        dataclasses.replace(base, place_embedding_on_cpu=True, micro_batches=2),
+        dataclasses.replace(base, place_embedding_on_cpu=True, optimizer="sgd"),
+        dataclasses.replace(base, place_embedding_on_cpu=True, wd=1e-4),
+    ]
+    for t in bad:
+        with pytest.raises(ValueError):
+            train_fixed_subnet(payload, _data(), t, log_fn=lambda s: None)
+    with pytest.raises(ValueError):
+        train_supernet(
+            SupernetOptions(config="autoctr", num_blocks=7),
+            _data(),
+            dataclasses.replace(base, mesh_model=2, micro_batches=2),
+            log_fn=lambda s: None,
+        )
