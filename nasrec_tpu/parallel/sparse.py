@@ -153,16 +153,25 @@ def make_parallel_sparse_train_step(
     donate: bool = True,
     table_update: str = "scatter",   # "scatter" | "sweep"
     sweep_interpret: Optional[bool] = None,
+    microbatch: int = 1,
 ):
     """jitted step(state, dense, cat, y[, masks]) with the table and its
     adagrad accumulator sharded P("model", None) and the batch P("data").
 
     table_update="sweep" requires the state's table/accumulator in the
     per-shard packed layout (pack_table_for_mesh); results match the
-    scatter path up to FMA contraction."""
+    scatter path up to FMA contraction.
+
+    microbatch > 1 splits the global batch into that many equal slices and
+    scans fwd+bwd over them (same gradient-accumulation semantics as the
+    single-chip step: mean of slice grads == full-batch grad for the mean
+    loss), bounding activation HBM per shard while the table update still
+    sees the whole batch's touched rows at once."""
     offsets = np.asarray(offsets, np.int32)
     if table_update not in ("scatter", "sweep"):
         raise ValueError(f"unknown table_update {table_update!r}")
+    if microbatch < 1:
+        raise ValueError(f"microbatch must be >= 1, got {microbatch}")
     sweep = table_update == "sweep"
     if sweep and sweep_interpret is None:
         sweep_interpret = jax.default_backend() != "tpu"
@@ -232,21 +241,60 @@ def make_parallel_sparse_train_step(
         table = params["embedding"]["table"]
         rest = {k: v for k, v in params.items() if k != "embedding"}
         idx = cat + jnp.asarray(offsets)[None, :]
-        stem = lookup(table, idx)
 
-        def loss_fn(rest_p, stem_in):
+        def loss_fn(rest_p, stem_in, dense_in, y_in):
             logits = (
-                apply_embedded(rest_p, dense, stem_in, masks)
+                apply_embedded(rest_p, dense_in, stem_in, masks)
                 if has_masks
-                else apply_embedded(rest_p, dense, stem_in)
+                else apply_embedded(rest_p, dense_in, stem_in)
             )
-            bce = bce_with_logits(logits, y)
+            bce = bce_with_logits(logits, y_in)
             l2 = l2_penalty(rest_p, l2_reg, l2_exclude)
             return bce + l2, (bce, logits)
 
-        (loss, (bce, logits)), (g_rest, g_stem) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True
-        )(rest, stem)
+        grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+
+        if microbatch == 1:
+            stem = lookup(table, idx)
+            (loss, (bce, logits)), (g_rest, g_stem) = grad_fn(
+                rest, stem, dense, y
+            )
+        else:
+            b_full, s = cat.shape
+            assert b_full % microbatch == 0, (
+                f"batch {b_full} not divisible by microbatch {microbatch}"
+            )
+            b = b_full // microbatch
+
+            def micro(g_rest_acc, xs):
+                d_i, c_i, y_i = xs
+                idx_i = c_i + jnp.asarray(offsets)[None, :]
+                stem_i = lookup(table, idx_i)
+                (loss_i, (bce_i, logits_i)), (g_rest_i, g_stem_i) = grad_fn(
+                    rest, stem_i, d_i, y_i
+                )
+                g_rest_acc = jax.tree_util.tree_map(
+                    lambda a, g: a + g, g_rest_acc, g_rest_i
+                )
+                return g_rest_acc, (g_stem_i, loss_i, bce_i, logits_i)
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, rest)
+            g_rest_sum, (g_stems, losses, bces, logits_m) = jax.lax.scan(
+                micro,
+                zeros,
+                (
+                    dense.reshape(microbatch, b, -1),
+                    cat.reshape(microbatch, b, s),
+                    y.reshape(microbatch, b, -1),
+                ),
+            )
+            inv_m = 1.0 / microbatch
+            g_rest = jax.tree_util.tree_map(lambda g: g * inv_m, g_rest_sum)
+            # [M, b, S, E] row-major stacking equals the full-batch [B, S, E]
+            # order, so `idx` (whole batch) lines up with the concatenation.
+            g_stem = g_stems.reshape(b_full, s, -1) * inv_m
+            loss, bce = losses.mean(), bces.mean()
+            logits = logits_m.reshape(b_full, -1)
 
         sq_rest = sum(
             jnp.sum(jnp.square(l.astype(jnp.float32)))

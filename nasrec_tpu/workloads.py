@@ -239,10 +239,12 @@ def _validate_train_options(train: TrainOptions) -> None:
             "place_embedding_on_cpu and mesh_model are mutually exclusive: "
             "the mesh path shards the table over device HBM"
         )
-    if train.mesh_model > 0 and train.micro_batches > 1:
+    if (train.mesh_model > 0 and train.micro_batches > 1
+            and not _use_sparse_embedding(train)):
         raise ValueError(
-            "micro_batches > 1 is not supported with mesh_model: shard the "
-            "batch over the data axis (more chips) or lower the batch size"
+            "micro_batches > 1 with mesh_model requires the sparse-embedding "
+            "path (adagrad, wd=0 or sparse_embedding=True); the dense mesh "
+            "step has no gradient-accumulation support"
         )
     if train.place_embedding_on_cpu and train.micro_batches > 1:
         raise ValueError(
@@ -409,6 +411,7 @@ def train_fixed_subnet(
                 grad_clip=train.grad_clip,
                 l2_reg=train.wd, l2_exclude=train.no_reg_param_name,
                 table_update=train.table_update,
+                microbatch=train.micro_batches,
             )
         else:
             step = make_parallel_train_step(
@@ -660,6 +663,7 @@ def train_supernet(
                 grad_clip=train.grad_clip,
                 l2_reg=train.wd, l2_exclude=train.no_reg_param_name,
                 has_masks=True,
+                microbatch=train.micro_batches,
             )
         else:
             step = make_parallel_train_step(

@@ -395,3 +395,47 @@ def test_orbax_pickle_payload_roundtrip(tmp_path):
     save_checkpoint_any(str(p_pkl), payload, "pickle")
     got2 = load_any_checkpoint(str(p_pkl))
     assert int(got2["step"]) == 17
+
+
+@requires_8dev
+def test_parallel_sparse_microbatch_matches_full_batch(rng):
+    """Mesh step with microbatch=2 == mesh step full-batch (gradient
+    accumulation semantics: mean of slice grads == full-batch grad)."""
+    mesh = make_mesh(model=2, data=4)
+    choice = get_best_arch("criteo-kaggle", "autoctr")
+    vocab = tuple([37] * 26)
+    plan = build_fixed_plan(
+        choice, OPS_CONFIG_LIB["autoctr"], 7, 13, 26, vocab, use_layernorm=False
+    )
+    params = fixed_init(jax.random.PRNGKey(0), plan)
+    opt = make_optimizer("adagrad")
+    offsets = table_offsets(vocab)
+    sched = lambda s: jnp.asarray(0.1)
+    batches = list(synthetic_batches(32, 16, SyntheticSpec(vocab=37), seed=0))
+
+    def run(micro):
+        params_sh = dict(params)
+        params_sh["embedding"] = pad_table_for_sharding(params["embedding"], 2)
+        state = shard_train_state(init_train_state(params_sh, opt), mesh)
+        step = make_parallel_sparse_train_step(
+            lambda p, d, s: fixed_apply_embedded(plan, p, d, s),
+            opt, sched, mesh, offsets, donate=False, microbatch=micro,
+        )
+        m = None
+        for d, c, y in batches:
+            state, m = step(state, d, c, y)
+        return state, m
+
+    s1, m1 = run(1)
+    s2, m2 = run(2)
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s2.params["embedding"]["table"]),
+        np.asarray(s1.params["embedding"]["table"]),
+        rtol=1e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s2.params["final"]["w"]),
+        np.asarray(s1.params["final"]["w"]),
+        rtol=1e-4, atol=1e-6,
+    )

@@ -302,7 +302,8 @@ def test_conflicting_train_options_raise():
     base = _train(steps=2)
     bad = [
         dataclasses.replace(base, mesh_model=2, place_embedding_on_cpu=True),
-        dataclasses.replace(base, mesh_model=2, micro_batches=2),
+        # dense mesh path (wd>0 disables sparse embedding): no grad accumulation
+        dataclasses.replace(base, mesh_model=2, micro_batches=2, wd=1e-4),
         dataclasses.replace(base, place_embedding_on_cpu=True, micro_batches=2),
         dataclasses.replace(base, place_embedding_on_cpu=True, optimizer="sgd"),
         dataclasses.replace(base, place_embedding_on_cpu=True, wd=1e-4),
@@ -314,6 +315,6 @@ def test_conflicting_train_options_raise():
         train_supernet(
             SupernetOptions(config="autoctr", num_blocks=7),
             _data(),
-            dataclasses.replace(base, mesh_model=2, micro_batches=2),
+            dataclasses.replace(base, mesh_model=2, micro_batches=2, wd=1e-4),
             log_fn=lambda s: None,
         )
