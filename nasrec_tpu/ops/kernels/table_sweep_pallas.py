@@ -321,6 +321,12 @@ def _sweep_impl(table_p, acc_p, sup_rows, seg128, lr, row_offset, *,
             jax.ShapeDtypeStruct(acc_p.shape, acc_p.dtype),
         ),
         input_output_aliases={6: 0, 7: 1},
+        # 4x [K_TILE, 128] f32 blocks (table/acc in+out, double-buffered) +
+        # the window block + transients; the default 16 MiB scoped limit is
+        # exactly full at K_TILE=2048 and blocks any larger tile.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
         interpret=interpret,
     )(tile_id, win_block, is_first, span_s, span_e,
       jnp.asarray(lr, jnp.float32).reshape(1), table_p, acc_p, upd)
