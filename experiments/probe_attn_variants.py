@@ -18,8 +18,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from nasrec_tpu.ops.kernels.attention_pallas import (
-    fused_tiny_head_attention_t,
     mha_reference,
+    tiny_head_attention_bmajor,
 )
 from nasrec_tpu.profiling import chained_rate
 
@@ -103,8 +103,13 @@ got = vpu_attention_fwd(jnp.transpose(small, (1, 2, 0)),
 err = float(jnp.max(jnp.abs(jnp.transpose(got, (2, 1, 0)) - ref)))
 print(f"vpu kernel max err vs reference: {err:.2e}")
 
-timeit("current emajor kernel fwd     ",
-       lambda a: fused_tiny_head_attention_t(a, a, a, H, False), q)
+# NOTE: the "current emajor kernel" baseline recorded in the findings below
+# was the since-removed gen-2 fused_tiny_head_attention_t (per-row MXU dots);
+# the line now times HEAD's shipped b-major kernel instead so the probe runs
+# against the current API.
+qkvT = jnp.concatenate([qT, qT, qT], axis=0)  # [3E, S, B]
+timeit("shipped bmajor kernel fwd     ",
+       lambda a: tiny_head_attention_bmajor(a, H), qkvT)
 for tb in (256, 512, 1024):
     try:
         timeit(f"vpu b-on-lanes fwd tb={tb:<5}",

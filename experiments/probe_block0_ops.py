@@ -27,7 +27,7 @@ from nasrec_tpu.ops.common import (
     linear_apply_e,
     ln_apply_e,
 )
-from nasrec_tpu.ops.kernels.attention_pallas import fused_tiny_head_attention_t
+from nasrec_tpu.ops.kernels.attention_pallas import tiny_head_attention_bmajor
 from nasrec_tpu.profiling import chained_rate
 
 batch = 32768
@@ -97,10 +97,13 @@ timeit("  slot proj fwd      ", lambda p, x: linear_apply(p["proj"], x), tp, xt_
 timeit_fb("  slot proj f+b      ", lambda p, x: linear_apply(p["proj"], x), tp, xt_in)
 timeit("  mha_t fwd           ", lambda p, x: _mha_t(p["mha"], x, 8), tp, xt)
 timeit_fb("  mha_t f+b           ", lambda p, x: _mha_t(p["mha"], x, 8), tp, xt)
+# (gen-2 E-major kernel removed; time HEAD's b-major kernel at its native
+# stacked [3E, S, B] layout instead)
+qkvb = jnp.concatenate([jnp.transpose(q, (1, 2, 0))] * 3, axis=0)
 timeit("  pallas attn fwd     ",
-       lambda a, b_, c: fused_tiny_head_attention_t(a, b_, c, 8, False), q, q, q)
+       lambda a: tiny_head_attention_bmajor(a, 8), qkvb)
 timeit_fb("  pallas attn f+b     ",
-          lambda a, b_, c: fused_tiny_head_attention_t(a, b_, c, 8, False), q, q, q)
+          lambda a: tiny_head_attention_bmajor(a, 8), qkvb)
 timeit("  qkv proj (w_in) fwd ",
        lambda p, x: linear_apply_e(p["mha"]["w_in"], p["mha"]["b_in"], x), tp, xt)
 timeit("  ffn fwd             ",

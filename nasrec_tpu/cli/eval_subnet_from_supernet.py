@@ -15,14 +15,21 @@ from __future__ import annotations
 import argparse
 
 from nasrec_tpu.cli.common import add_data_args, data_options
-from nasrec_tpu.workloads import SearchOptions, search_from_supernet
+from nasrec_tpu.workloads import (
+    SearchOptions,
+    evaluate_choices_from_supernet,
+    search_from_supernet,
+)
 
 
 def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     add_data_args(p, train_bs=512, test_bs=8192)
     p.add_argument("--method", default="regularized-ea",
-                   choices=["regularized-ea", "random"])
+                   choices=["regularized-ea", "random", "cached"])
+    p.add_argument("--choice_from_pickle_file", default=None,
+                   help="pickle of candidate records to re-score with "
+                        "--method cached (ref: eval_subnet_from_supernet.py:252-283)")
     p.add_argument("--config", default="xlarge",
                    choices=["xlarge", "xlarge-zeros", "autoctr"])
     p.add_argument("--num_blocks", type=int, default=7)
@@ -47,6 +54,9 @@ def build_parser():
                    help="latency penalty strength (test_loss_penalty_lat)")
     p.add_argument("--target_latency", type=float, default=-1.0)
     p.add_argument("--latency_batch_size", type=int, default=512)
+    p.add_argument("--latency_trials", type=int, default=50,
+                   help="forward-latency trials per candidate "
+                        "(ref: searcher_utils.py:77-103)")
     p.add_argument("--finetune_whole_supernet", type=int, default=0,
                    help="1: fine-tune all params per candidate (sequential)")
     p.add_argument("--logging_dir", default=None)
@@ -65,8 +75,35 @@ def main(argv=None):
         criterion=args.criterion, group_size=args.group_size, seed=args.seed,
         beta=args.beta, target_latency=args.target_latency,
         latency_batch_size=args.latency_batch_size,
+        latency_trials=args.latency_trials,
         finetune_mode="whole" if args.finetune_whole_supernet == 1 else "final-only",
     )
+    if args.method == "cached":
+        # Re-score an explicit candidate pickle against the supernet — the
+        # reference's rank-correlation workflow (ref:
+        # eval_subnet_from_supernet.py:252-283, flag :356).
+        import os
+        import pickle
+
+        if args.choice_from_pickle_file is None:
+            raise SystemExit(
+                "--choice_from_pickle_file is required with --method cached")
+        with open(args.choice_from_pickle_file, "rb") as f:
+            records = pickle.load(f)
+        # Accept both raw choice dicts and {"choice": ..., ...} records.
+        choices = [r["choice"] if isinstance(r, dict) and "choice" in r else r
+                   for r in records]
+        print(f"Evaluating {len(choices)} subnets from record file: "
+              f"{args.choice_from_pickle_file}")
+        results = evaluate_choices_from_supernet(choices, so, data_options(args))
+        for rec, res in zip(records, results):
+            if isinstance(rec, dict) and "test_loss" in rec:
+                res["gt_test_loss"] = rec["test_loss"]
+        if args.logging_dir:
+            os.makedirs(args.logging_dir, exist_ok=True)
+            with open(os.path.join(args.logging_dir, "results.pickle"), "wb") as f:
+                pickle.dump(results, f)
+        return results
     return search_from_supernet(so, data_options(args), logging_dir=args.logging_dir)
 
 

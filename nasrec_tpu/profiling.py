@@ -137,7 +137,11 @@ def chained_rate(run_k: Callable[[int], None], k1: int, k2: int) -> float:
     Host/tunnel interference can stall the small window and push the slope
     non-positive; such windows are re-measured (up to 3x) rather than
     silently reported, with the raw large-window rate — an upper bound that
-    still includes the RTT — as the last-resort fallback."""
+    still includes the RTT — as the last-resort fallback.  Each fallback
+    increments the module counter read by timing_fallbacks(); callers that
+    publish numbers (bench.py, measure_latency) surface it so measurements
+    taken under interference are identifiable."""
+    global _TIMING_FALLBACKS
     for _ in range(3):
         t0 = time.perf_counter()
         run_k(k1)
@@ -147,7 +151,23 @@ def chained_rate(run_k: Callable[[int], None], k1: int, k2: int) -> float:
         slope = ((t2 - t1) - (t1 - t0)) / (k2 - k1)
         if slope > 0.0:
             return slope
+    _TIMING_FALLBACKS += 1
     return (t2 - t1) / k2
+
+
+_TIMING_FALLBACKS = 0
+
+
+def timing_fallbacks(reset: bool = False) -> int:
+    """Number of chained_rate windows that fell back to the raw large-window
+    rate (still containing the device_get RTT) since process start / last
+    reset.  Non-zero means some published number may be inflated by host or
+    tunnel interference."""
+    global _TIMING_FALLBACKS
+    n = _TIMING_FALLBACKS
+    if reset:
+        _TIMING_FALLBACKS = 0
+    return n
 
 
 def cost_analysis_of(jitted_fn, *args) -> dict:
@@ -188,7 +208,16 @@ def measure_latency(
     run_k(max(num_warmup_steps, 1))
     k2 = max(num_trials // num_windows, 4)
     k1 = max(k2 // 4, 1)
+    before = timing_fallbacks()
     lat = np.asarray(
         [chained_rate(run_k, k1, k2) for _ in range(num_windows)]
     )
+    fell_back = timing_fallbacks() - before
+    if fell_back:
+        import warnings
+
+        warnings.warn(
+            f"measure_latency: {fell_back}/{num_windows} windows fell back to "
+            "the raw large-window rate (host/tunnel interference); the mean "
+            "may be inflated by the readback RTT", RuntimeWarning)
     return float(lat.mean()), float(lat.std())

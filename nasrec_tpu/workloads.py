@@ -527,25 +527,28 @@ def train_fixed_subnet(
                 best = best_ep
     writer.close()
 
-    if packed_eval:  # sweep layout -> standard [vocab, 16] checkpoint format
+    def _unpack_sweep_params(p):
+        """Sweep layout -> standard [vocab, 16] checkpoint format."""
         if train.mesh_model > 0:
             from nasrec_tpu.parallel import unpack_table_from_mesh
 
             table_std = unpack_table_from_mesh(
-                state.params["embedding"]["table"], int(sum(vocab)),
-                train.mesh_model,
+                p["embedding"]["table"], int(sum(vocab)), train.mesh_model,
             )
         else:
             from nasrec_tpu.ops.kernels.table_sweep_pallas import unpack_rows
 
-            table_std = unpack_rows(
-                state.params["embedding"]["table"], int(sum(vocab))
-            )
-        saved_params = dict(state.params)
-        saved_params["embedding"] = {
-            **state.params["embedding"], "table": table_std,
-        }
-        saved_params = jax.device_get(saved_params)
+            table_std = unpack_rows(p["embedding"]["table"], int(sum(vocab)))
+        out = dict(p)
+        out["embedding"] = {**p["embedding"], "table": table_std}
+        return jax.device_get(out)
+
+    if packed_eval:
+        saved_params = _unpack_sweep_params(state.params)
+        # best comes out of the train loop still in the packed layout —
+        # callers must always see the standard [vocab, 16] table.
+        if best is not None:
+            best = _unpack_sweep_params(best)
     else:
         saved_params = _unpad_params(jax.device_get(state.params), vocab)
     if train.place_embedding_on_cpu:

@@ -318,3 +318,65 @@ def test_conflicting_train_options_raise():
             dataclasses.replace(base, mesh_model=2, micro_batches=2, wd=1e-4),
             log_fn=lambda s: None,
         )
+
+
+def test_cached_method_cli(tmp_path):
+    """--method cached re-scores an explicit candidate pickle against a
+    supernet checkpoint via the CLI (ref: eval_subnet_from_supernet.py:252-283)."""
+    from nasrec_tpu.cli.eval_subnet_from_supernet import main
+    from nasrec_tpu.config import OPS_CONFIG_LIB
+    from nasrec_tpu.search import Tokenizer
+
+    sn = SupernetOptions(config="autoctr", num_blocks=2, supernet_training_steps=0)
+    train_supernet(sn, _data(), _train(tmp_path, steps=8), log_fn=lambda s: None)
+
+    tok = Tokenizer(2, OPS_CONFIG_LIB["autoctr"], seed=3)
+    records = [
+        {"choice": tok.generate_random_choice(), "test_loss": 0.44 + 0.01 * i}
+        for i in range(3)
+    ]
+    rec_path = tmp_path / "records.pickle"
+    with open(rec_path, "wb") as f:
+        pickle.dump(records, f)
+
+    out_dir = tmp_path / "cached"
+    results = main([
+        "--method", "cached",
+        "--choice_from_pickle_file", str(rec_path),
+        "--ckpt_path", str(tmp_path / "supernet_checkpoint.pkl"),
+        "--config", "autoctr", "--num_blocks", "2",
+        "--data_source", "synthetic",
+        "--train_batch_size", "64", "--test_batch_size", "128",
+        "--max_train_steps", "4", "--max_eval_steps", "2",
+        "--group_size", "2",
+        "--logging_dir", str(out_dir),
+    ])
+    assert len(results) == 3
+    # results align 1:1 with the input records and carry the GT loss through
+    for rec, res in zip(records, results):
+        assert res["choice"] == rec["choice"]
+        assert res["gt_test_loss"] == rec["test_loss"]
+        assert np.isfinite(res["test_loss"])
+    with open(out_dir / "results.pickle", "rb") as f:
+        dumped = pickle.load(f)
+    assert len(dumped) == 3
+
+
+def test_sweep_best_params_standard_layout(tmp_path):
+    """best_params under table_update='sweep' must come back in the standard
+    [vocab, 16] layout, not the packed [T/8, 128] sweep layout."""
+    choice = get_best_arch("criteo-kaggle", "autoctr")
+    payload = {**choice, "config": "autoctr", "num_blocks": 7}
+    tr = _train(tmp_path, steps=10)
+    out = train_fixed_subnet(
+        payload, _data(),
+        TrainOptions(**{**tr.__dict__, "table_update": "sweep"}),
+        log_fn=lambda s: None,
+    )
+    best = out["best_params"]
+    assert best is not None
+    assert best["embedding"]["table"].shape == (26000, 16)
+    with open(tmp_path / "checkpoint.pkl", "rb") as f:
+        saved = pickle.load(f)
+    # best table layout matches the checkpoint's standard layout exactly
+    assert saved["params"]["embedding"]["table"].shape == (26000, 16)
