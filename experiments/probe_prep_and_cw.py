@@ -1,6 +1,6 @@
 """Embedding-update prep + sweep window-size probe at the flagship shapes.
 
-Round-2 baseline (probe_table_sweep.py): superrow_segment_sum (global
+Round-2 baseline (probe_table_sweep.py): the segment-sum prep (global
 argsort of 852k keys) 20.6 ms; sweep update 35.4 ms at cw=256.
 Two candidate wins measured here:
   1. slotwise prep: one batched [B, 26] column argsort (disjoint ascending
@@ -22,8 +22,8 @@ from nasrec_tpu.models.embedding import table_offsets
 from nasrec_tpu.ops.kernels import table_sweep_pallas as tsp
 from nasrec_tpu.profiling import chained_rate
 from nasrec_tpu.train.sparse_embedding import (
-    superrow_segment_sum,
-    superrow_segment_sum_slotwise,
+    rowwise_segment_sum,
+    rowwise_segment_sum_slotwise,
 )
 
 B = 32768
@@ -59,15 +59,15 @@ def timeit(name, fn, *args, k=(4, 12)):
 
 
 timeit("global prep (argsort 852k) ",
-       lambda i2, gg: superrow_segment_sum(i2.reshape(-1), gg), idx2d, g)
+       lambda i2, gg: rowwise_segment_sum(i2.reshape(-1), gg), idx2d, g)
 timeit("slotwise prep (batched sort)",
-       lambda i2, gg: superrow_segment_sum_slotwise(i2, gg), idx2d, g)
+       lambda i2, gg: rowwise_segment_sum_slotwise(i2, gg), idx2d, g)
 
-rows, seg, _ = jax.jit(superrow_segment_sum_slotwise)(idx2d, g)
+rows, seg, _ = jax.jit(rowwise_segment_sum_slotwise)(idx2d, g)
 rows = jax.block_until_ready(rows)
 
 for cw in (128, 256, 512, 1024):
-    # rows/seg MUST be arguments, not closure constants: seg is 872 MB and
+    # rows/seg MUST be arguments, not closure constants: seg is large and
     # a closure constant gets baked into the axon remote-compile request
     # (HTTP 413) and re-fed per call.
     def run(tp, ap, rr, ss, _cw=cw):

@@ -55,13 +55,12 @@ idx_np = np.stack(
 ).reshape(-1).astype(np.int32)
 n = idx_np.size
 
-# Pre-build the sorted/lane-expanded payload ONCE (prep is timed elsewhere).
-order = np.argsort(idx_np // tsp.GROUP, kind="stable")
-rows_sorted = idx_np[order]
-g_np = (rng.randn(n, 16) * 1e-2).astype(np.float32)[order]
-sup_rows = jnp.asarray((rows_sorted // tsp.GROUP).astype(np.int32))
-seg128 = tsp.lane_expand(jnp.asarray(rows_sorted), jnp.asarray(g_np))
-jax.block_until_ready(seg128)
+# Pre-build the sorted payload ONCE (prep is timed elsewhere).  No segment
+# sum: duplicates violate the exactness contract but not the timing.
+order = np.argsort(idx_np, kind="stable")
+rows = jnp.asarray(idx_np[order])
+seg16 = jnp.asarray((rng.randn(n, 16) * 1e-2).astype(np.float32)[order])
+jax.block_until_ready(seg16)
 
 for ktile in (512, 1024, 2048):
     for cw in (128, 256):
@@ -79,7 +78,7 @@ for ktile in (512, 1024, 2048):
             t, a = box["t"], box["a"]
             for _ in range(k):
                 t, a = tsp.sweep_adagrad_update(
-                    t, a, sup_rows, seg128, 0.01, cw=cw)
+                    t, a, rows, seg16, 0.01, cw=cw)
             box["t"], box["a"] = t, a
             jax.device_get(t[0, 0])
 

@@ -5,7 +5,7 @@ Workload: full-vocab Criteo fused table (~33.8M x 16 f32 stored packed as
 ~852k update positions (~841k unique rows).
 
 Modes (argv[1], default "sweep"):
-  sweep   — time superrow_segment_sum prep, packed_lookup forward gather,
+  sweep   — time rowwise_segment_sum prep, packed_lookup forward gather,
             and the Pallas sweep update at full scale
   scatter — time the unpacked take + rowwise prep + XLA scatter pair
             (today's production path) at full scale
@@ -21,7 +21,7 @@ from nasrec_tpu.config import DATASETS
 from nasrec_tpu.ops.kernels import table_sweep_pallas as tsp
 from nasrec_tpu.profiling import chained_rate
 from nasrec_tpu.train.sparse_embedding import (
-    rowwise_segment_sum, sparse_adagrad_table_update, superrow_segment_sum,
+    rowwise_segment_sum, sparse_adagrad_table_update,
 )
 
 MODE = sys.argv[1] if len(sys.argv) > 1 else "sweep"
@@ -61,17 +61,17 @@ if MODE == "sweep":
           flush=True)
 
     # --- segment-sum prep ----------------------------------------------------
-    segsum = jax.jit(superrow_segment_sum)
-    sup_rows, seg128, is_end = jax.block_until_ready(segsum(idx, g))
+    segsum = jax.jit(rowwise_segment_sum)
+    rows_s, seg16, is_end = jax.block_until_ready(segsum(idx, g))
     def run_segsum(k):
         r = None
         gg = g
         for _ in range(k):
             r, s, e = segsum(idx, gg)
-            gg = s[:, :16]  # chain
+            gg = s  # chain
         jax.device_get(r[0])
     run_segsum(3)
-    print(f"superrow_segment_sum: {chained_rate(run_segsum, 4, 12)*1e3:.2f} ms",
+    print(f"rowwise_segment_sum: {chained_rate(run_segsum, 4, 12)*1e3:.2f} ms",
           flush=True)
 
     # --- the sweep -----------------------------------------------------------
@@ -79,7 +79,7 @@ if MODE == "sweep":
     def run_sweep(k):
         t, a = state["t"], state["a"]
         for _ in range(k):
-            t, a = tsp.sweep_adagrad_update(t, a, sup_rows, seg128, 0.05)
+            t, a = tsp.sweep_adagrad_update(t, a, rows_s, seg16, 0.05)
         state["t"], state["a"] = t, a
         jax.device_get(t[0, 0])
     t0 = time.perf_counter()
@@ -130,7 +130,6 @@ elif MODE == "check":
     acc = jnp.abs(jax.random.normal(jax.random.PRNGKey(1), (tp2, 16)))
     table_p, acc_p = tsp.pack_rows(table), tsp.pack_rows(acc)
 
-    sup_rows, seg128, _ = jax.jit(superrow_segment_sum)(idx2, g2)
     rows, seg, is_end = jax.jit(rowwise_segment_sum)(idx2, g2)
 
     # fwd gather parity on device (before the sweep donates table_p)
@@ -138,8 +137,8 @@ elif MODE == "check":
     st_u = jnp.take(table, idx2[:4096], axis=0)
     print(f"lookup |d|max={float(jnp.max(jnp.abs(st_p - st_u))):.3e}", flush=True)
 
-    t_sw_p, a_sw_p = tsp.sweep_adagrad_update(table_p, acc_p, sup_rows,
-                                              seg128, 0.05)
+    t_sw_p, a_sw_p = tsp.sweep_adagrad_update(table_p, acc_p, rows,
+                                              seg, 0.05)
     t_sw = tsp.unpack_rows(t_sw_p, tp2)
     a_sw = tsp.unpack_rows(a_sw_p, tp2)
     t_sc, a_sc = jax.jit(

@@ -18,42 +18,59 @@ intermediate), and `packed_lookup` gathers super-rows then selects the
 42 s for the einsum formulation — measured, experiments/probe_packed2.py).
 
 The sweep — a WINDOW-LINEARIZED grid:
-  - Update positions are sorted by super-row and cut into (CW, 256) window
+  - Update positions are sorted by vocab row and cut into (CW, 128) window
     blocks; each grid step processes ONE window of ONE tile.  A scalar-
     prefetched schedule (built by cheap XLA ops in `_build_schedule`) maps
-    grid step g -> (tile, window block, is_first, span), giving every tile
-    ceil(segment/CW) consecutive steps.  Total steps are <= n/CW +
-    2*n_tiles for ANY index distribution — a static budget — so unlike a
-    fixed windows-per-tile scheme there is NO overflow path: CTR-skewed
-    traffic (small tables concentrate ~100k positions in one tile) just
-    gives that tile more steps.
+    grid step g -> (tile, window block, is_first, is_last, span), giving
+    every tile ceil(segment/CW) consecutive steps.  Total steps are
+    <= n/CW + 2*n_tiles for ANY index distribution — a static budget — so
+    unlike a fixed windows-per-tile scheme there is NO overflow path:
+    CTR-skewed traffic (small tables concentrate ~100k positions in one
+    tile) just gives that tile more steps.
   - The (K_TILE, 128) table/acc blocks stay RESIDENT across a tile's steps
     (consecutive same block index -> Pallas fetches/flushes once).  Block
     size is throughput-critical on the axon runtime: (512, 128) grids run
     <1 GB/s (per-step overhead) while (2048, 128) sustains ~308 GB/s
     (measured, experiments/probe_sweep2.py).
-  - Each window position carries at most one vocab row's summed gradient in
-    that row's 16-lane group (positions of one super-row have DISJOINT lane
-    groups — the segment-sum contract in train/sparse_embedding.py), so a
-    window's delta is one one-hot matmul building a dense [K_TILE, 128]
-    block D, then pure element-wise math on the resident blocks:
+  - A window position carries one vocab row's summed gradient (16 lanes)
+    plus that row's offset within its tile in lane 16 (< ROWS_PER_TILE =
+    16384, f32-exact).  The segment-sum contract
+    (train/sparse_embedding.py) guarantees at most one NONZERO position
+    per vocab row.  The kernel lane-expands the 16-lane payload into the
+    row's lane group and turns the window into a dense [K_TILE, 128] delta
+    via one one-hot matmul, ACCUMULATED in a VMEM scratch across the
+    tile's windows; the element-wise adagrad math runs ONCE, on the tile's
+    LAST step:
 
-        acc   += D*D                  (D rows are the summed grads)
-        table -= lr * D / (sqrt(acc) + eps)
+        D      = sum over windows of one-hot @ seg    (per-row summed grads)
+        acc'   = acc + D*D
+        table' = table - lr * D / (sqrt(acc') + eps)
 
-    Incremental per-window application is EXACT: a vocab row's single
-    nonzero position lives in exactly one window, and rows sharing a
-    super-row occupy disjoint lanes, so cross-window terms are zero.
-    Untouched rows see D == 0 and pass through bit-exactly.  Semantics
+    Accumulating D before applying is EXACT: each vocab row has one
+    nonzero position in one window, and rows sharing a super-row occupy
+    disjoint lane groups, so every element of D receives at most one
+    nonzero term.  Untouched rows see D == 0 and pass through bit-exactly
+    (acc + 0 == acc; table - lr*0/(sqrt(acc)+eps) == table).  Semantics
     match torch Adagrad exactly — duplicates are summed upstream BEFORE
     squaring (ref: nasrec/main_train.py:151-154).
 
+    Round-3 restructure (this shape): round 2 applied the update
+    incrementally per window — a full [K_TILE, 128] read-modify-write of
+    BOTH resident blocks (sqrt+divide included) on every active step, plus
+    a separate first-step copy-through, and the window payload carried
+    pre-lane-expanded 128-lane rows (a (CW, 256) block).  The flagship
+    sweep ran 29.7 ms against a measured 14.6 ms copy-through floor at the
+    identical block pattern (experiments/probe_sweep_ktile.py).  Per-tile
+    accumulation cuts the element-wise work by the tile's window count,
+    the single apply subsumes the copy-through, and in-kernel lane
+    expansion halves the window DMA and the prep-side payload build.
+
 Cost model: table/acc stream over TOUCHED TILES ONLY (untouched tiles get
 zero grid steps — their aliased blocks are never DMA'd and pass through as
-raw memory) + ~n*1KB window traffic at ~300 GB/s, with the one-hot MXU work
-(~0.4 GFLOP/window at 3 bf16 passes) overlapped by Pallas' grid pipelining.
-Uniform flagship traffic touches every tile (full 8.6 GB stream); skewed
-CTR traffic pays only for the tiles it hits.
+raw memory) + ~n*0.5KB window traffic at ~300 GB/s, with the one-hot MXU
+work (~0.2 GFLOP/window at 3 bf16 passes) overlapped by Pallas' grid
+pipelining.  Uniform flagship traffic touches every tile (full 8.6 GB
+stream); skewed CTR traffic pays only for the tiles it hits.
 """
 
 from __future__ import annotations
@@ -140,7 +157,11 @@ def packed_lookup(packed: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 
 def lane_expand(rows: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
-    """[N] vocab rows + [N, 16] grads -> [N, 128] at each row's lane group."""
+    """[N] vocab rows + [N, 16] grads -> [N, 128] at each row's lane group.
+
+    The scatter REFERENCE path's layout helper; the sweep kernel itself
+    expands lanes in VMEM (its payload stays 16 grad lanes + the row
+    metadata lane)."""
     lane = jax.nn.one_hot(rows % GROUP, GROUP, dtype=g.dtype)      # [N, 8]
     return (lane[:, :, None] * g[:, None, :]).reshape(-1, LANES)
 
@@ -149,10 +170,10 @@ def _build_schedule(starts: jnp.ndarray, n_tiles: int, n: int, cw: int):
     """Static-budget step schedule: one grid step per (tile, window block).
 
     starts: [n_tiles + 1] int32 segment boundaries (searchsorted of tile
-    super-row boundaries in the sorted update positions).  Returns int32
-    [BUDGET] tables (tile_id, win_block, is_first, span_s, span_e) with
-    BUDGET = ceil(n/cw) + 2*n_tiles + 1 — an upper bound on the windows any
-    distribution needs, since a touched tile t uses
+    vocab-row boundaries in the sorted update positions).  Returns int32
+    [BUDGET] tables (tile_id, win_block, is_first, is_last, span_s, span_e)
+    with BUDGET = ceil(n/cw) + 2*n_tiles + 1 — an upper bound on the
+    windows any distribution needs, since a touched tile t uses
     ceil((e_t - align(s_t))/cw) <= seg_t/cw + 2 steps.
 
     UNTOUCHED tiles get ZERO steps: the grid never visits their blocks, so
@@ -162,8 +183,8 @@ def _build_schedule(starts: jnp.ndarray, n_tiles: int, n: int, cw: int):
     Under skewed CTR traffic this collapses the stream from the whole table
     to the touched tiles.  Surplus steps get an empty span (s == e == 0) on
     the LAST active tile/window, so their block indices repeat (no DMA;
-    that block was already written via its first step's copy-through) and
-    the kernel's span guard skips their compute entirely.
+    that block was already written by its is_last apply) and the kernel's
+    span guard skips their compute entirely.
     """
     budget = -(-n // cw) + 2 * n_tiles + 1
     s, e = starts[:-1], starts[1:]
@@ -182,29 +203,35 @@ def _build_schedule(starts: jnp.ndarray, n_tiles: int, n: int, cw: int):
     tile_id = jnp.where(active, t_c, jnp.take(t_c, last))
     win_block = jnp.where(active, win_block, jnp.take(win_block, last))
     is_first = (active & (w_local == 0)).astype(jnp.int32)
-    # All-sentinel input (a shard owning no touched rows): zero active steps
-    # would still flush step 0's (never-written) VMEM block at the end —
-    # force its copy-through so the flush is a bit-exact pass-through.
-    is_first = is_first.at[0].set(
-        jnp.where(steps_end[-1] == 0, 1, is_first[0])
+    is_last = (active & (w_local == jnp.take(n_win, t_c) - 1)).astype(
+        jnp.int32
     )
+    # All-sentinel input (a shard owning no touched rows): zero active steps
+    # would still flush step 0's (never-written) VMEM blocks at the end —
+    # force a zero-delta apply (first zeroes the scratch, last applies it)
+    # so the flush is a bit-exact pass-through.
+    degenerate = steps_end[-1] == 0
+    is_first = is_first.at[0].set(jnp.where(degenerate, 1, is_first[0]))
+    is_last = is_last.at[0].set(jnp.where(degenerate, 1, is_last[0]))
     span_s = jnp.where(active, jnp.take(s, t_c), 0).astype(jnp.int32)
     span_e = jnp.where(active, jnp.take(e, t_c), 0).astype(jnp.int32)
-    return tile_id, win_block.astype(jnp.int32), is_first, span_s, span_e
+    return tile_id, win_block.astype(jnp.int32), is_first, is_last, span_s, span_e
 
 
 def _sweep_kernel(
     tile_id_ref,     # [BUDGET] int32 (SMEM, scalar prefetch)
     win_ref,         # [BUDGET] int32
     first_ref,       # [BUDGET] int32 (1 on a tile's first step)
+    last_ref,        # [BUDGET] int32 (1 on a tile's last step)
     ss_ref,          # [BUDGET] int32 span start (global update position)
     se_ref,          # [BUDGET] int32 span end
     lr_ref,          # [1] f32
     table_ref,       # [K_TILE, 128] resident input block
     acc_ref,         # [K_TILE, 128]
-    u_ref,           # [CW, 256] window block
+    u_ref,           # [CW, 128] window block
     table_out,       # [K_TILE, 128] resident output block (aliased)
     acc_out,         # [K_TILE, 128]
+    d_acc,           # [K_TILE, 128] f32 VMEM scratch: the tile's delta
     *,
     cw: int,
     eps: float,
@@ -212,25 +239,30 @@ def _sweep_kernel(
     g = pl.program_id(0)
     s = ss_ref[g]
     e = se_ref[g]
-    lr = lr_ref[0]
-
-    @pl.when(first_ref[g] == 1)
-    def _copy_through():
-        table_out[:] = table_ref[:]
-        acc_out[:] = acc_ref[:]
 
     # Surplus steps (s == e) repeat the last active step's block indices:
-    # no DMA, and this guard skips their one-hot dot + update entirely.
+    # no DMA, and this guard skips their one-hot dot entirely.
     @pl.when(s != e)
-    def _update():
-        u = u_ref[:]                          # [cw, 256]
-        seg = u[:, :LANES]                    # summed grads, lane-expanded
-        rel = u[:, LANES].astype(jnp.int32)   # super-row offset within tile
+    def _accumulate():
+        u = u_ref[:]                          # [cw, 128]
+        seg16 = u[:, :EMB]                    # per-vocab-row summed grads
+        rel = u[:, EMB].astype(jnp.int32)     # vocab-row offset within tile
         base = win_ref[g] * cw
         pos = base + jax.lax.broadcasted_iota(jnp.int32, (cw, 1), 0)
         span = (pos >= s) & (pos < e)         # column mask, broadcast below
+        # Lane-expand the 16-lane payload into the row's lane group.  Out-of-
+        # span rows may expand to garbage lanes; their one-hot column is
+        # zero, so they contribute nothing to the dot.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (cw, LANES), 1)
+        seg = jnp.where(
+            lane // EMB == (rel % GROUP)[:, None],
+            jnp.concatenate([seg16] * GROUP, axis=1),
+            0.0,
+        )                                     # [cw, 128] lane-expanded
         sup_iota = jax.lax.broadcasted_iota(jnp.int32, (cw, K_TILE), 1)
-        a = ((rel[:, None] == sup_iota) & span).astype(jnp.bfloat16)
+        a = (((rel // GROUP)[:, None] == sup_iota) & span).astype(
+            jnp.bfloat16
+        )
 
         def dot(lhs, rhs):  # one bf16 MXU pass, f32 accumulate
             return jax.lax.dot_general(
@@ -239,79 +271,100 @@ def _sweep_kernel(
             )
 
         # Manual 3-pass split (Mosaic lowers only DEFAULT/HIGHEST dot
-        # precision): `a` is 0/1 (bf16-exact) and each output row receives at
-        # most one nonzero term per lane, so splitting `seg` into its exact
-        # bf16 hi/mid/lo mantissa triple (8+8+8 of f32's 24 mantissa bits;
-        # each subtraction is Sterbenz-exact) and summing three single-pass
-        # dots reconstructs the f32 gradient EXACTLY at half the MXU cost of
-        # HIGHEST — and bf16 operands halve the scratch VMEM.
+        # precision): `a` is 0/1 (bf16-exact) and each output element
+        # receives at most one nonzero term, so splitting `seg` into its
+        # exact bf16 hi/mid/lo mantissa triple (8+8+8 of f32's 24 mantissa
+        # bits; each subtraction is Sterbenz-exact) and summing three
+        # single-pass dots reconstructs the f32 gradient EXACTLY at half
+        # the MXU cost of HIGHEST — and bf16 operands halve the scratch
+        # VMEM.
         hi = seg.astype(jnp.bfloat16)
         r1 = seg - hi.astype(jnp.float32)
         mid = r1.astype(jnp.bfloat16)
         lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
         d = (dot(a, hi) + dot(a, mid)) + dot(a, lo)       # [K_TILE, 128]
 
-        # Incremental per-window application — exact: nonzero lanes are
-        # disjoint across a tile's windows (one nonzero position per vocab
-        # row, disjoint lane groups within a super-row), so cross-window
-        # terms vanish.
-        acc_new = acc_out[:] + d * d
+        @pl.when(first_ref[g] == 1)
+        def _overwrite():
+            d_acc[:] = d
+
+        @pl.when(first_ref[g] == 0)
+        def _add():
+            d_acc[:] = d_acc[:] + d
+
+    # Degenerate all-sentinel schedule only (zero active steps): step 0 is
+    # forced first+last with an empty span — zero the scratch so the apply
+    # below is a bit-exact pass-through.
+    @pl.when((first_ref[g] == 1) & (s == e))
+    def _zero():
+        d_acc[:] = jnp.zeros_like(d_acc)
+
+    # One element-wise adagrad application per tile, on its last step.
+    # Elements with D == 0 (untouched rows, zero-seg duplicate positions)
+    # pass through bit-exactly.
+    @pl.when(last_ref[g] == 1)
+    def _apply():
+        d = d_acc[:]
+        acc_new = acc_ref[:] + d * d
         acc_out[:] = acc_new
-        table_out[:] = table_out[:] - lr * d / (jnp.sqrt(acc_new) + eps)
+        table_out[:] = (
+            table_ref[:] - lr_ref[0] * d / (jnp.sqrt(acc_new) + eps)
+        )
 
 
-def _sweep_impl(table_p, acc_p, sup_rows, seg128, lr, row_offset, *,
+def _sweep_impl(table_p, acc_p, rows, seg16, lr, row_offset, *,
                 eps, cw, interpret):
     tp, lanes = table_p.shape
     assert lanes == LANES and tp % K_TILE == 0, (tp, lanes)
     n_tiles = tp // K_TILE
-    n = sup_rows.shape[0]
+    n = rows.shape[0]
 
     # row_offset > 0: `table_p` is one row-shard of a larger table and
-    # `sup_rows` carry GLOBAL super-row ids — the shard's tile boundaries
-    # are searchsorted into the global sorted stream, so positions owned by
+    # `rows` carry GLOBAL vocab ids — the shard's tile boundaries are
+    # searchsorted into the global sorted stream, so positions owned by
     # other shards fall outside every span and are never applied.  The
-    # window payload's rel-super-row (sup % K_TILE) stays valid because the
-    # offset is a K_TILE multiple (shards hold whole tiles).
+    # window payload's in-tile offset (rows % ROWS_PER_TILE) stays valid
+    # because the offset is a K_TILE multiple (shards hold whole tiles).
+    sup_rows = rows // GROUP
     boundaries = (jnp.arange(n_tiles + 1, dtype=jnp.int32) * K_TILE
                   + jnp.asarray(row_offset, jnp.int32))
     starts = jnp.searchsorted(sup_rows, boundaries).astype(jnp.int32)
-    tile_id, win_block, is_first, span_s, span_e = _build_schedule(
+    tile_id, win_block, is_first, is_last, span_s, span_e = _build_schedule(
         starts, n_tiles, n, cw
     )
     budget = int(tile_id.shape[0])
 
-    # Update payload: lanes 0-127 = lane-expanded summed grads, lane 128 =
-    # the super-row's offset within its tile (< K_TILE, f32-exact).  Padded
-    # to whole window blocks plus one spare so the last tile's final window
-    # index stays in bounds; padded positions fail the span test.  Built by
-    # in-place updates of one zeros buffer — at the flagship batch this
-    # array is 870 MB, and the concatenate formulation's two extra copies
-    # (plus a full zeros `meta` plane) tipped the step over HBM.
+    # Window payload: lanes 0-15 = per-vocab-row summed (and clip-scaled)
+    # grads, lane 16 = the row's offset within its tile (< ROWS_PER_TILE,
+    # f32-exact).  Padded to whole window blocks plus one spare so the last
+    # tile's final window index stays in bounds; padded positions fail the
+    # span test.  Built by in-place updates of one zeros buffer — the
+    # concatenate formulation's extra copies tipped large batches over HBM.
     npad = n + (-n) % cw + cw
     upd = jax.lax.dynamic_update_slice(
-        jnp.zeros((npad, 2 * LANES), jnp.float32), seg128, (0, 0)
+        jnp.zeros((npad, LANES), jnp.float32), seg16, (0, 0)
     )
-    upd = upd.at[:n, LANES].set((sup_rows % K_TILE).astype(jnp.float32))
+    upd = upd.at[:n, EMB].set((rows % ROWS_PER_TILE).astype(jnp.float32))
 
     kernel = functools.partial(_sweep_kernel, cw=cw, eps=eps)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=7,
         grid=(budget,),
         in_specs=[
             pl.BlockSpec((K_TILE, LANES),
-                         lambda g, tid, win, fst, ss, se, lr: (tid[g], 0)),
+                         lambda g, tid, win, fst, lst, ss, se, lr: (tid[g], 0)),
             pl.BlockSpec((K_TILE, LANES),
-                         lambda g, tid, win, fst, ss, se, lr: (tid[g], 0)),
-            pl.BlockSpec((cw, 2 * LANES),
-                         lambda g, tid, win, fst, ss, se, lr: (win[g], 0)),
+                         lambda g, tid, win, fst, lst, ss, se, lr: (tid[g], 0)),
+            pl.BlockSpec((cw, LANES),
+                         lambda g, tid, win, fst, lst, ss, se, lr: (win[g], 0)),
         ],
         out_specs=[
             pl.BlockSpec((K_TILE, LANES),
-                         lambda g, tid, win, fst, ss, se, lr: (tid[g], 0)),
+                         lambda g, tid, win, fst, lst, ss, se, lr: (tid[g], 0)),
             pl.BlockSpec((K_TILE, LANES),
-                         lambda g, tid, win, fst, ss, se, lr: (tid[g], 0)),
+                         lambda g, tid, win, fst, lst, ss, se, lr: (tid[g], 0)),
         ],
+        scratch_shapes=[pltpu.VMEM((K_TILE, LANES), jnp.float32)],
     )
     new_table_p, new_acc_p = pl.pallas_call(
         kernel,
@@ -320,15 +373,16 @@ def _sweep_impl(table_p, acc_p, sup_rows, seg128, lr, row_offset, *,
             jax.ShapeDtypeStruct(table_p.shape, table_p.dtype),
             jax.ShapeDtypeStruct(acc_p.shape, acc_p.dtype),
         ),
-        input_output_aliases={6: 0, 7: 1},
+        input_output_aliases={7: 0, 8: 1},
         # 4x [K_TILE, 128] f32 blocks (table/acc in+out, double-buffered) +
-        # the window block + transients; the default 16 MiB scoped limit is
-        # exactly full at K_TILE=2048 and blocks any larger tile.
+        # the delta scratch + the window block + transients; the default
+        # 16 MiB scoped limit is exactly full at K_TILE=2048 and blocks any
+        # larger tile.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024
         ),
         interpret=interpret,
-    )(tile_id, win_block, is_first, span_s, span_e,
+    )(tile_id, win_block, is_first, is_last, span_s, span_e,
       jnp.asarray(lr, jnp.float32).reshape(1), table_p, acc_p, upd)
     return new_table_p, new_acc_p
 
@@ -341,16 +395,14 @@ def _sweep_impl(table_p, acc_p, sup_rows, seg128, lr, row_offset, *,
 def sweep_adagrad_update(
     table_p: jnp.ndarray,   # [TP, 128] f32 packed table, TP % K_TILE == 0
     acc_p: jnp.ndarray,     # [TP, 128] f32 packed adagrad accumulator
-    sup_rows: jnp.ndarray,  # [N] int32 SORTED touched SUPER-rows; sentinel
-                            #   (>= TP) tail allowed.  Duplicates allowed as
-                            #   long as positions of one super-row carry
-                            #   nonzero values in DISJOINT lane groups (at
-                            #   most one nonzero position per VOCAB row) —
-                            #   the segment-sum contract (zero rows add
-                            #   exact 0.0 terms to the one-hot dot).
-    seg128: jnp.ndarray,    # [N, 128] lane-expanded per-vocab-row summed
-                            #   (and clip-scaled) grads, zero off segment
-                            #   ends
+    rows: jnp.ndarray,      # [N] int32 SORTED touched VOCAB rows; sentinel
+                            #   (>= TP*GROUP) tail allowed.  Duplicates
+                            #   allowed as long as at most one position per
+                            #   vocab row carries a NONZERO seg16 — the
+                            #   segment-sum contract (zero rows add exact
+                            #   0.0 terms to the one-hot dot).
+    seg16: jnp.ndarray,     # [N, 16] per-vocab-row summed (and clip-scaled)
+                            #   grads, zero off segment ends
     lr,
     row_offset=0,           # global super-row id of this table's first row
                             #   (row-sharded tables; MUST be a K_TILE
@@ -363,15 +415,18 @@ def sweep_adagrad_update(
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One streaming-sweep application of the touched-row adagrad update."""
-    return _sweep_impl(table_p, acc_p, sup_rows, seg128, lr, row_offset,
+    return _sweep_impl(table_p, acc_p, rows, seg16, lr, row_offset,
                        eps=eps, cw=cw, interpret=interpret)
 
 
-def sweep_adagrad_update_reference(table_p, acc_p, sup_rows, seg128, lr, *,
+def sweep_adagrad_update_reference(table_p, acc_p, rows, seg16, lr, *,
                                    eps=1e-2):
-    """Scatter-based reference with identical semantics (tests).  Duplicate
-    super-rows with disjoint nonzero lane groups are fine (plain .add)."""
+    """Scatter-based reference with identical semantics (tests).  Takes the
+    same (sorted vocab rows, 16-lane segs) contract as the kernel; duplicate
+    rows with zero segs are fine (plain .add of exact zeros)."""
     tp = table_p.shape[0]
+    sup_rows = rows // GROUP
+    seg128 = lane_expand(rows, seg16)
     tgt = jnp.where(sup_rows < tp, sup_rows, tp)
     sq = jnp.square(seg128)
     acc_rows = jnp.take(acc_p, jnp.clip(sup_rows, 0, tp - 1), axis=0)

@@ -52,7 +52,6 @@ from nasrec_tpu.train.optim import Optimizer, l2_penalty
 from nasrec_tpu.train.sparse_embedding import (
     rowwise_segment_sum,
     sparse_adagrad_table_update,
-    superrow_segment_sum,
 )
 
 
@@ -190,12 +189,9 @@ def make_parallel_sparse_train_step(
         g_g = jax.lax.all_gather(
             g_local.reshape(-1, g_local.shape[-1]), "data", tiled=True
         )
-        if sweep:
-            rows, seg, is_end = superrow_segment_sum(idx_g, g_g)
-        else:
-            rows, seg, is_end = rowwise_segment_sum(idx_g, g_g)
-        # sum(seg^2) equals the dense-table grad norm in both layouts (lane
-        # expansion keeps each vocab row's sum in its own lane group).
+        rows, seg, is_end = rowwise_segment_sum(idx_g, g_g)
+        # sum(seg^2) equals the dense-table grad norm (seg holds each vocab
+        # row's summed grad once, zeros elsewhere).
         sq_emb = jnp.sum(jnp.square(seg))
         if grad_clip is not None:
             norm = jnp.sqrt(sq_rest + sq_emb)

@@ -88,51 +88,21 @@ def rowwise_segment_sum_slotwise(idx2d: jnp.ndarray, g: jnp.ndarray):
     return r, seg, is_end
 
 
-def superrow_segment_sum_slotwise(idx2d: jnp.ndarray, g: jnp.ndarray):
-    """superrow_segment_sum on slot-partitioned [B, S] indices."""
-    from nasrec_tpu.ops.kernels.table_sweep_pallas import GROUP, lane_expand
-
-    r, gs = _slotwise_sort(idx2d, g)
-    seg16, is_end = _segment_last_sum(r, gs)
-    return r // GROUP, lane_expand(r, seg16), is_end
-
-
 def rowwise_segment_sum(rows: jnp.ndarray, g: jnp.ndarray):
     """Aggregate gradient contributions of duplicate rows (static shapes).
 
     rows: [N] int32, g: [N, E].  Returns (sorted_rows [N], seg [N, E],
     is_end [N] bool) where seg is the full per-row sum at each segment's LAST
     position and exactly zero elsewhere; is_end marks those last positions.
+    This is also the sweep kernel's input contract (sorted vocab rows,
+    16-lane per-row sums; duplicates carry exact zeros) — the kernel does
+    its own lane expansion and super-row mapping in VMEM.
     """
     order = jnp.argsort(rows)
     r = rows[order]
     gs = jnp.take(g, order, axis=0)
     seg, is_end = _segment_last_sum(r, gs)
     return r, seg, is_end
-
-
-def superrow_segment_sum(rows: jnp.ndarray, g: jnp.ndarray):
-    """Aggregate duplicate-row grads at packed SUPER-row granularity.
-
-    rows: [N] int32 vocab rows, g: [N, 16].  Returns (sup_sorted [N],
-    seg128 [N, 128], is_end [N]): lane-expanded per-VOCAB-row sums at each
-    vocab-row segment's last position (zero elsewhere) — the
-    sweep_adagrad_update input contract.  A super-row can carry up to
-    GROUP nonzero positions (one per distinct vocab row), each in its own
-    lane group; the kernel's one-hot matmul sums them into the super-row's
-    [128] delta, so no second consolidation pass is needed.  Duplicates of
-    one vocab row are summed into its single segment end BEFORE squaring
-    (torch-Adagrad parity).  Doing the cumsum at [N, 16] and lane-expanding
-    only the result keeps the prep ~40% cheaper than a [N, 128] cumsum.
-    """
-    from nasrec_tpu.ops.kernels.table_sweep_pallas import GROUP, lane_expand
-
-    order = jnp.argsort(rows)
-    r = rows[order]
-    gs = jnp.take(g, order, axis=0)
-    seg16, is_end = _segment_last_sum(r, gs)      # vocab-row keys, [N, 16]
-    seg128 = lane_expand(r, seg16)                # zeros stay zero
-    return r // GROUP, seg128, is_end
 
 
 def sparse_adagrad_table_update(
@@ -364,21 +334,17 @@ def make_sparse_embedding_train_step(
             loss, bce = losses.mean(), bces.mean()
             logits = logits_m.reshape(b_full, -1)
 
-        if table_update == "sweep":
-            # Super-row granularity: lane-expanded per-row sums at each packed
-            # super-row segment's last position — the sweep kernel's contract.
-            rows, seg, is_end = superrow_segment_sum(idx, g_stem_flat)
-        else:
-            rows, seg, is_end = rowwise_segment_sum(idx, g_stem_flat)
+        # Sorted vocab rows + per-row summed 16-lane grads — the shared
+        # contract of both the scatter update and the sweep kernel.
+        rows, seg, is_end = rowwise_segment_sum(idx, g_stem_flat)
 
         if grad_clip is not None:
             sq_rest = sum(
                 jnp.sum(jnp.square(l.astype(jnp.float32)))
                 for l in jax.tree_util.tree_leaves(g_rest)
             )
-            # sum(seg^2) equals the dense-table grad norm in BOTH layouts:
-            # lane expansion places each vocab row's summed grad in its own
-            # lane group, zero elsewhere.
+            # sum(seg^2) equals the dense-table grad norm: seg holds each
+            # vocab row's summed grad once, zeros elsewhere.
             sq_emb = jnp.sum(jnp.square(seg))
             norm = jnp.sqrt(sq_rest + sq_emb)
             scale = jnp.minimum(1.0, grad_clip / (norm + 1e-6))

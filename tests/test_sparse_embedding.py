@@ -17,8 +17,6 @@ from nasrec_tpu.train.sparse_embedding import (
     make_sparse_embedding_train_step,
     rowwise_segment_sum,
     rowwise_segment_sum_slotwise,
-    superrow_segment_sum,
-    superrow_segment_sum_slotwise,
 )
 
 
@@ -35,7 +33,6 @@ def test_slotwise_segment_sum_matches_global(rng):
 
     for glob, slot in (
         (rowwise_segment_sum, rowwise_segment_sum_slotwise),
-        (superrow_segment_sum, superrow_segment_sum_slotwise),
     ):
         r_g, seg_g, _ = glob(idx2d.reshape(-1), g)
         r_s, seg_s, is_end_s = slot(idx2d, g)

@@ -24,7 +24,7 @@ from nasrec_tpu.train.loop import init_train_state
 from nasrec_tpu.train.sparse_embedding import (
     make_sparse_embedding_train_step,
     pack_state_for_sweep,
-    superrow_segment_sum,
+    rowwise_segment_sum,
     unpack_state_from_sweep,
 )
 
@@ -55,20 +55,17 @@ def _run_case(idx, tpad_rows, lr=0.12, seed=0):
     rng = np.random.RandomState(seed)
     n = len(idx)
     g = rng.randn(n, 16).astype(np.float32)
-    sup_rows, seg128, is_end = superrow_segment_sum(
+    rows, seg16, is_end = rowwise_segment_sum(
         jnp.asarray(idx, jnp.int32), jnp.asarray(g)
     )
     tp = tpad_rows // tsp.GROUP
     table_p = jnp.asarray(rng.randn(tp, tsp.LANES), jnp.float32)
     acc_p = jnp.abs(jnp.asarray(rng.randn(tp, tsp.LANES), jnp.float32))
-    # Route non-end duplicate positions out of bounds so the reference's
-    # unique_indices scatter is well-defined (their segs are zero anyway).
-    ref_rows = jnp.where(is_end, sup_rows, tp)
     ref_t, ref_a = tsp.sweep_adagrad_update_reference(
-        table_p, acc_p, ref_rows, seg128, lr
+        table_p, acc_p, rows, seg16, lr
     )
     new_t, new_a = tsp.sweep_adagrad_update(
-        table_p, acc_p, sup_rows, seg128, lr, interpret=True
+        table_p, acc_p, rows, seg16, lr, interpret=True
     )
     touched = np.zeros(tp, bool)
     touched[np.unique(np.asarray(idx) // tsp.GROUP)] = True
@@ -137,8 +134,8 @@ def test_sweep_all_sentinel_rows():
     active steps; table/acc must pass through bit-exactly (the forced
     step-0 copy-through guards the end-of-grid flush)."""
     tp = 2 * tsp.K_TILE
-    rows = jnp.full((64,), tp + 5, jnp.int32)
-    seg = jnp.asarray(np.random.RandomState(1).randn(64, tsp.LANES), jnp.float32)
+    rows = jnp.full((64,), tp * tsp.GROUP + 5, jnp.int32)
+    seg = jnp.asarray(np.random.RandomState(1).randn(64, tsp.EMB), jnp.float32)
     table = jnp.asarray(np.random.RandomState(2).randn(tp, tsp.LANES), jnp.float32)
     acc = jnp.abs(table) + 0.25
     table_np, acc_np = np.asarray(table), np.asarray(acc)
@@ -164,7 +161,7 @@ def test_sweep_empty_update():
     """All-zero gradients: table/acc unchanged bit-exactly."""
     tp = tsp.K_TILE
     rows = jnp.asarray(np.arange(100, dtype=np.int32))
-    seg = jnp.zeros((100, tsp.LANES), jnp.float32)
+    seg = jnp.zeros((100, tsp.EMB), jnp.float32)
     table = jnp.asarray(
         np.random.RandomState(0).randn(tp, tsp.LANES), jnp.float32
     )
@@ -261,7 +258,7 @@ def test_sweep_row_offset_shards_reproduce_full_table(rng):
     n = 3000
     idx = rng.randint(0, tpad, size=n)
     g = rng.randn(n, 16).astype(np.float32)
-    sup_rows, seg128, _ = superrow_segment_sum(
+    rows, seg16, _ = rowwise_segment_sum(
         jnp.asarray(idx, jnp.int32), jnp.asarray(g)
     )
     tp = tpad // tsp.GROUP
@@ -269,7 +266,7 @@ def test_sweep_row_offset_shards_reproduce_full_table(rng):
     acc_np = np.abs(rng.randn(tp, tsp.LANES)).astype(np.float32)
 
     full_t, full_a = tsp.sweep_adagrad_update(
-        jnp.asarray(table_np), jnp.asarray(acc_np), sup_rows, seg128, 0.07,
+        jnp.asarray(table_np), jnp.asarray(acc_np), rows, seg16, 0.07,
         interpret=True,
     )
     full_t, full_a = np.asarray(full_t), np.asarray(full_a)
@@ -281,7 +278,7 @@ def test_sweep_row_offset_shards_reproduce_full_table(rng):
             tsp.sweep_adagrad_update(
                 jnp.asarray(table_np[m * per:(m + 1) * per]),
                 jnp.asarray(acc_np[m * per:(m + 1) * per]),
-                sup_rows, seg128, 0.07, m * per, interpret=True,
+                rows, seg16, 0.07, m * per, interpret=True,
             )
             for m in range(shards)
         ]
