@@ -62,8 +62,9 @@ rows = jnp.asarray(idx_np[order])
 seg16 = jnp.asarray((rng.randn(n, 16) * 1e-2).astype(np.float32)[order])
 jax.block_until_ready(seg16)
 
-for ktile in (512, 1024, 2048):
-    for cw in (128, 256):
+for ktile, cw, wf in ((1024, 256, 1), (1024, 128, 2), (1024, 128, 4),
+                      (1024, 256, 2), (2048, 128, 4), (2048, 256, 2),
+                      (512, 128, 4)):
         tsp.K_TILE = ktile
         tsp.ROWS_PER_TILE = ktile * tsp.GROUP
         tpad = tsp.sweep_padded_rows(total)
@@ -78,14 +79,14 @@ for ktile in (512, 1024, 2048):
             t, a = box["t"], box["a"]
             for _ in range(k):
                 t, a = tsp.sweep_adagrad_update(
-                    t, a, rows, seg16, 0.01, cw=cw)
+                    t, a, rows, seg16, 0.01, cw=cw, wf=wf)
             box["t"], box["a"] = t, a
             jax.device_get(t[0, 0])
 
         run(2)
         dt = chained_rate(run, 3, 9)
         gbs = 4 * table_p.size * 4 / dt / 1e9
-        print(f"K_TILE={ktile} CW={cw}: {dt*1e3:.2f} ms "
+        print(f"K_TILE={ktile} CW={cw} WF={wf}: {dt*1e3:.2f} ms "
               f"({gbs:.0f} GB/s table+acc r+w, tiles={tpad//tsp.ROWS_PER_TILE})",
               flush=True)
         del table_p, acc_p, box

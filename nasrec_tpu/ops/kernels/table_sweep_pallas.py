@@ -58,12 +58,22 @@ The sweep — a WINDOW-LINEARIZED grid:
     incrementally per window — a full [K_TILE, 128] read-modify-write of
     BOTH resident blocks (sqrt+divide included) on every active step, plus
     a separate first-step copy-through, and the window payload carried
-    pre-lane-expanded 128-lane rows (a (CW, 256) block).  The flagship
-    sweep ran 29.7 ms against a measured 14.6 ms copy-through floor at the
-    identical block pattern (experiments/probe_sweep_ktile.py).  Per-tile
+    pre-lane-expanded 128-lane rows (a (CW, 256) block).  Per-tile
     accumulation cuts the element-wise work by the tile's window count,
-    the single apply subsumes the copy-through, and in-kernel lane
-    expansion halves the window DMA and the prep-side payload build.
+    the single apply subsumes the copy-through, in-kernel lane expansion
+    halves the window DMA and the prep-side payload build, and WF
+    sub-windows fold into one grid step (span-guarded, so folding adds no
+    MXU work).
+
+    Measured plateau (experiments/probe_sweep_ktile.py + probe_sweep_diag.py,
+    flagship scale): ~29 ms FLAT across K_TILE in {512..2048} x CW x WF —
+    the terms trade off almost exactly: per-grid-step pipeline overhead
+    (~1 us; a pure copy-through under this very schedule costs 22.4 ms at
+    ~10k steps vs 14.6 ms at ~2k steps), the one-hot MXU expansion
+    (~2*3*K_TILE*128 MACs per position, ~6-9 ms), and the 8.6 GB resident
+    stream.  An in-kernel manual-DMA variant with ONE step per tile
+    measured 40 ms (the serial in-tile loop defeats Pallas' cross-step
+    software pipelining) and was reverted.
 
 Cost model: table/acc stream over TOUCHED TILES ONLY (untouched tiles get
 zero grid steps — their aliased blocks are never DMA'd and pass through as
@@ -88,8 +98,9 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 GROUP = 8           # vocab rows per packed 128-lane super-row
 EMB = 16
-K_TILE = 2048       # packed super-rows per tile block (16384 vocab rows)
-CW = 256            # update positions per window block
+K_TILE = 1024       # packed super-rows per tile block (8192 vocab rows)
+CW = 256            # update positions per sub-window (one one-hot dot)
+WF = 2              # sub-windows folded into one grid step
 ROWS_PER_TILE = K_TILE * GROUP      # vocab rows per tile
 
 
@@ -166,15 +177,20 @@ def lane_expand(rows: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
     return (lane[:, :, None] * g[:, None, :]).reshape(-1, LANES)
 
 
-def _build_schedule(starts: jnp.ndarray, n_tiles: int, n: int, cw: int):
+def _build_schedule(starts: jnp.ndarray, n_tiles: int, n: int, unit: int):
     """Static-budget step schedule: one grid step per (tile, window block).
+
+    `unit` = positions per grid step (= cw * wf: a step's block holds wf
+    sub-windows of cw positions; sub-windows outside the tile's span are
+    skipped by the kernel's per-sub-window guard, so folding cuts the step
+    count without adding MXU work).
 
     starts: [n_tiles + 1] int32 segment boundaries (searchsorted of tile
     vocab-row boundaries in the sorted update positions).  Returns int32
     [BUDGET] tables (tile_id, win_block, is_first, is_last, span_s, span_e)
-    with BUDGET = ceil(n/cw) + 2*n_tiles + 1 — an upper bound on the
+    with BUDGET = ceil(n/unit) + 2*n_tiles + 1 — an upper bound on the
     windows any distribution needs, since a touched tile t uses
-    ceil((e_t - align(s_t))/cw) <= seg_t/cw + 2 steps.
+    ceil((e_t - align(s_t))/unit) <= seg_t/unit + 2 steps.
 
     UNTOUCHED tiles get ZERO steps: the grid never visits their blocks, so
     no DMA is issued for them, and because the table/acc outputs alias their
@@ -186,6 +202,7 @@ def _build_schedule(starts: jnp.ndarray, n_tiles: int, n: int, cw: int):
     that block was already written by its is_last apply) and the kernel's
     span guard skips their compute entirely.
     """
+    cw = unit
     budget = -(-n // cw) + 2 * n_tiles + 1
     s, e = starts[:-1], starts[1:]
     aligned = (s // cw) * cw
@@ -228,41 +245,31 @@ def _sweep_kernel(
     lr_ref,          # [1] f32
     table_ref,       # [K_TILE, 128] resident input block
     acc_ref,         # [K_TILE, 128]
-    u_ref,           # [CW, 128] window block
+    u_ref,           # [WF*CW, 128] window block (wf folded sub-windows)
     table_out,       # [K_TILE, 128] resident output block (aliased)
     acc_out,         # [K_TILE, 128]
     d_acc,           # [K_TILE, 128] f32 VMEM scratch: the tile's delta
     *,
     cw: int,
+    wf: int,
     eps: float,
 ):
     g = pl.program_id(0)
     s = ss_ref[g]
     e = se_ref[g]
 
+    # Zero the tile's delta once, on its first step (also covers the
+    # degenerate all-sentinel schedule, whose forced step 0 is first+last
+    # with an empty span: the apply below then passes through bit-exactly).
+    @pl.when(first_ref[g] == 1)
+    def _zero():
+        d_acc[:] = jnp.zeros_like(d_acc)
+
     # Surplus steps (s == e) repeat the last active step's block indices:
-    # no DMA, and this guard skips their one-hot dot entirely.
+    # no DMA, and this guard skips their one-hot dots entirely.
     @pl.when(s != e)
     def _accumulate():
-        u = u_ref[:]                          # [cw, 128]
-        seg16 = u[:, :EMB]                    # per-vocab-row summed grads
-        rel = u[:, EMB].astype(jnp.int32)     # vocab-row offset within tile
-        base = win_ref[g] * cw
-        pos = base + jax.lax.broadcasted_iota(jnp.int32, (cw, 1), 0)
-        span = (pos >= s) & (pos < e)         # column mask, broadcast below
-        # Lane-expand the 16-lane payload into the row's lane group.  Out-of-
-        # span rows may expand to garbage lanes; their one-hot column is
-        # zero, so they contribute nothing to the dot.
-        lane = jax.lax.broadcasted_iota(jnp.int32, (cw, LANES), 1)
-        seg = jnp.where(
-            lane // EMB == (rel % GROUP)[:, None],
-            jnp.concatenate([seg16] * GROUP, axis=1),
-            0.0,
-        )                                     # [cw, 128] lane-expanded
-        sup_iota = jax.lax.broadcasted_iota(jnp.int32, (cw, K_TILE), 1)
-        a = (((rel // GROUP)[:, None] == sup_iota) & span).astype(
-            jnp.bfloat16
-        )
+        u = u_ref[:]                          # [wf*cw, 128]
 
         def dot(lhs, rhs):  # one bf16 MXU pass, f32 accumulate
             return jax.lax.dot_general(
@@ -270,34 +277,48 @@ def _sweep_kernel(
                 preferred_element_type=jnp.float32,
             )
 
-        # Manual 3-pass split (Mosaic lowers only DEFAULT/HIGHEST dot
-        # precision): `a` is 0/1 (bf16-exact) and each output element
-        # receives at most one nonzero term, so splitting `seg` into its
-        # exact bf16 hi/mid/lo mantissa triple (8+8+8 of f32's 24 mantissa
-        # bits; each subtraction is Sterbenz-exact) and summing three
-        # single-pass dots reconstructs the f32 gradient EXACTLY at half
-        # the MXU cost of HIGHEST — and bf16 operands halve the scratch
-        # VMEM.
-        hi = seg.astype(jnp.bfloat16)
-        r1 = seg - hi.astype(jnp.float32)
-        mid = r1.astype(jnp.bfloat16)
-        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        d = (dot(a, hi) + dot(a, mid)) + dot(a, lo)       # [K_TILE, 128]
+        for j in range(wf):
+            base = win_ref[g] * (wf * cw) + j * cw
 
-        @pl.when(first_ref[g] == 1)
-        def _overwrite():
-            d_acc[:] = d
-
-        @pl.when(first_ref[g] == 0)
-        def _add():
-            d_acc[:] = d_acc[:] + d
-
-    # Degenerate all-sentinel schedule only (zero active steps): step 0 is
-    # forced first+last with an empty span — zero the scratch so the apply
-    # below is a bit-exact pass-through.
-    @pl.when((first_ref[g] == 1) & (s == e))
-    def _zero():
-        d_acc[:] = jnp.zeros_like(d_acc)
+            # Sub-windows that do not intersect the tile's span [s, e) are
+            # skipped OUTRIGHT — folding wf sub-windows into one grid step
+            # cuts pipeline-step count without paying their MXU work
+            # (alignment slack and neighbours' positions stay guarded).
+            @pl.when((base < e) & (base + cw > s))
+            def _sub(j=j, base=base):
+                uj = u[j * cw:(j + 1) * cw]       # [cw, 128]
+                seg16 = uj[:, :EMB]               # per-vocab-row summed grads
+                rel = uj[:, EMB].astype(jnp.int32)  # vocab-row offset in tile
+                pos = base + jax.lax.broadcasted_iota(jnp.int32, (cw, 1), 0)
+                span = (pos >= s) & (pos < e)     # column mask
+                # Lane-expand the 16-lane payload into the row's lane group.
+                # Out-of-span rows may expand to garbage lanes; their one-hot
+                # column is zero, so they contribute nothing to the dot.
+                lane = jax.lax.broadcasted_iota(jnp.int32, (cw, LANES), 1)
+                seg = jnp.where(
+                    lane // EMB == (rel % GROUP)[:, None],
+                    jnp.concatenate([seg16] * GROUP, axis=1),
+                    0.0,
+                )                                 # [cw, 128] lane-expanded
+                sup_iota = jax.lax.broadcasted_iota(jnp.int32, (cw, K_TILE), 1)
+                a = (((rel // GROUP)[:, None] == sup_iota) & span).astype(
+                    jnp.bfloat16
+                )
+                # Manual 3-pass split (Mosaic lowers only DEFAULT/HIGHEST dot
+                # precision): `a` is 0/1 (bf16-exact) and each output element
+                # receives at most one nonzero term, so splitting `seg` into
+                # its exact bf16 hi/mid/lo mantissa triple (8+8+8 of f32's 24
+                # mantissa bits; each subtraction is Sterbenz-exact) and
+                # summing three single-pass dots reconstructs the f32
+                # gradient EXACTLY at half the MXU cost of HIGHEST — and
+                # bf16 operands halve the scratch VMEM.
+                hi = seg.astype(jnp.bfloat16)
+                r1 = seg - hi.astype(jnp.float32)
+                mid = r1.astype(jnp.bfloat16)
+                lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+                d_acc[:] = d_acc[:] + (
+                    (dot(a, hi) + dot(a, mid)) + dot(a, lo)
+                )                                 # [K_TILE, 128]
 
     # One element-wise adagrad application per tile, on its last step.
     # Elements with D == 0 (untouched rows, zero-seg duplicate positions)
@@ -313,7 +334,7 @@ def _sweep_kernel(
 
 
 def _sweep_impl(table_p, acc_p, rows, seg16, lr, row_offset, *,
-                eps, cw, interpret):
+                eps, cw, wf, interpret):
     tp, lanes = table_p.shape
     assert lanes == LANES and tp % K_TILE == 0, (tp, lanes)
     n_tiles = tp // K_TILE
@@ -329,8 +350,9 @@ def _sweep_impl(table_p, acc_p, rows, seg16, lr, row_offset, *,
     boundaries = (jnp.arange(n_tiles + 1, dtype=jnp.int32) * K_TILE
                   + jnp.asarray(row_offset, jnp.int32))
     starts = jnp.searchsorted(sup_rows, boundaries).astype(jnp.int32)
+    unit = cw * wf
     tile_id, win_block, is_first, is_last, span_s, span_e = _build_schedule(
-        starts, n_tiles, n, cw
+        starts, n_tiles, n, unit
     )
     budget = int(tile_id.shape[0])
 
@@ -340,13 +362,13 @@ def _sweep_impl(table_p, acc_p, rows, seg16, lr, row_offset, *,
     # tile's final window index stays in bounds; padded positions fail the
     # span test.  Built by in-place updates of one zeros buffer — the
     # concatenate formulation's extra copies tipped large batches over HBM.
-    npad = n + (-n) % cw + cw
+    npad = n + (-n) % unit + unit
     upd = jax.lax.dynamic_update_slice(
         jnp.zeros((npad, LANES), jnp.float32), seg16, (0, 0)
     )
     upd = upd.at[:n, EMB].set((rows % ROWS_PER_TILE).astype(jnp.float32))
 
-    kernel = functools.partial(_sweep_kernel, cw=cw, eps=eps)
+    kernel = functools.partial(_sweep_kernel, cw=cw, wf=wf, eps=eps)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
         grid=(budget,),
@@ -355,7 +377,7 @@ def _sweep_impl(table_p, acc_p, rows, seg16, lr, row_offset, *,
                          lambda g, tid, win, fst, lst, ss, se, lr: (tid[g], 0)),
             pl.BlockSpec((K_TILE, LANES),
                          lambda g, tid, win, fst, lst, ss, se, lr: (tid[g], 0)),
-            pl.BlockSpec((cw, LANES),
+            pl.BlockSpec((unit, LANES),
                          lambda g, tid, win, fst, lst, ss, se, lr: (win[g], 0)),
         ],
         out_specs=[
@@ -389,7 +411,7 @@ def _sweep_impl(table_p, acc_p, rows, seg16, lr, row_offset, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("eps", "cw", "interpret"),
+    static_argnames=("eps", "cw", "wf", "interpret"),
     donate_argnums=(0, 1),
 )
 def sweep_adagrad_update(
@@ -412,11 +434,12 @@ def sweep_adagrad_update(
     *,
     eps: float = 1e-2,
     cw: int = CW,
+    wf: int = WF,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One streaming-sweep application of the touched-row adagrad update."""
     return _sweep_impl(table_p, acc_p, rows, seg16, lr, row_offset,
-                       eps=eps, cw=cw, interpret=interpret)
+                       eps=eps, cw=cw, wf=wf, interpret=interpret)
 
 
 def sweep_adagrad_update_reference(table_p, acc_p, rows, seg16, lr, *,

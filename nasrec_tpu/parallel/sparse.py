@@ -50,7 +50,7 @@ from nasrec_tpu.train.loop import TrainState
 from nasrec_tpu.train.metrics import bce_with_logits
 from nasrec_tpu.train.optim import Optimizer, l2_penalty
 from nasrec_tpu.train.sparse_embedding import (
-    rowwise_segment_sum,
+    rowwise_segment_sum_slotwise,
     sparse_adagrad_table_update,
 )
 
@@ -185,11 +185,13 @@ def make_parallel_sparse_train_step(
     def _update_shard(table_local, acc_local, idx_local, g_local, sq_rest, lr):
         """Per-(data, model)-shard body: aggregate the global batch's
         embedding grads, clip, update owned rows (scatter or sweep)."""
-        idx_g = jax.lax.all_gather(idx_local.reshape(-1), "data", tiled=True)
-        g_g = jax.lax.all_gather(
-            g_local.reshape(-1, g_local.shape[-1]), "data", tiled=True
+        idx_g = jax.lax.all_gather(idx_local, "data", tiled=True)   # [B, S]
+        g_g = jax.lax.all_gather(g_local, "data", tiled=True)       # [B, S, E]
+        # Slotwise (batched per-column sort) aggregation — ~2x cheaper than
+        # the flat argsort at large batches (train/sparse_embedding.py).
+        rows, seg, is_end = rowwise_segment_sum_slotwise(
+            idx_g, g_g.reshape(-1, g_g.shape[-1])
         )
-        rows, seg, is_end = rowwise_segment_sum(idx_g, g_g)
         # sum(seg^2) equals the dense-table grad norm (seg holds each vocab
         # row's summed grad once, zeros elsewhere).
         sq_emb = jnp.sum(jnp.square(seg))

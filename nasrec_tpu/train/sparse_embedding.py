@@ -63,11 +63,14 @@ def _slotwise_sort(idx2d: jnp.ndarray, g: jnp.ndarray):
     Column-sorting and concatenating columns therefore yields a globally
     non-decreasing stream via one batched [B, S] argsort.
 
-    MEASURED SLOWER than the flat [B*S] argsort at the flagship shapes
-    (20.9 vs 18.5 ms, experiments/probe_prep_and_cw.py): the shorter sort
-    length does not pay for the extra take_along_axis + permute-gather.
-    Kept as the segment-sum reference for slot-partitioned inputs and for
-    its equivalence test; the train step uses the global-sort variants.
+    This is the PRODUCTION prep: 9.96 ms vs 18.67 ms for the flat [B*S]
+    argsort at the flagship shape (experiments/probe_prep_breakdown.py,
+    round 3).  Round 2 measured slotwise SLOWER — but that comparison
+    included the since-removed [N, 128] lane-expansion; with the 16-lane
+    contract the batched [B, S] sort (0.9 ms vs 1.3 ms) and its cheaper
+    permute-gather win decisively.  The sort itself is cheap either way;
+    the cost is the lane-padded [N, 16] gathers (16 -> 128 lane padding,
+    8x physical traffic).
 
     g: [B*S, E] in (b, s) row-major order (the stem-grad flatten).
     Returns (rows_sorted [B*S], g_sorted [B*S, E])."""
@@ -335,8 +338,12 @@ def make_sparse_embedding_train_step(
             logits = logits_m.reshape(b_full, -1)
 
         # Sorted vocab rows + per-row summed 16-lane grads — the shared
-        # contract of both the scatter update and the sweep kernel.
-        rows, seg, is_end = rowwise_segment_sum(idx, g_stem_flat)
+        # contract of both the scatter update and the sweep kernel.  The
+        # slotwise (batched per-column sort) variant is ~2x cheaper than
+        # the flat argsort at large batches (see _slotwise_sort).
+        rows, seg, is_end = rowwise_segment_sum_slotwise(
+            cat + jnp.asarray(offsets)[None, :], g_stem_flat
+        )
 
         if grad_clip is not None:
             sq_rest = sum(

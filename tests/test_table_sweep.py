@@ -90,7 +90,7 @@ def test_sweep_uniform_with_duplicates(rng):
     tpad = 3 * tsp.ROWS_PER_TILE
     idx = rng.randint(0, tpad - 100, size=2000)
     arrs, touched = _run_case(idx, tpad)
-    assert touched.sum() > 1500  # mostly unique super-rows
+    assert touched.sum() > 0.6 * len(idx)  # mostly unique super-rows
     _assert_match(arrs, touched)
 
 
@@ -109,11 +109,14 @@ def test_sweep_heavy_skew_one_tile(rng):
     window-linearized schedule must give that tile many consecutive steps
     (the CTR small-table case that breaks fixed windows-per-tile)."""
     tpad = 2 * tsp.ROWS_PER_TILE
-    # ~1600 unique super-rows in tile 0 (a window holds CW = 256 positions)
-    sup = rng.choice(tsp.K_TILE, size=1600, replace=False)
-    idx = sup * tsp.GROUP + rng.randint(0, tsp.GROUP, size=1600)
+    # Several windows' worth of unique super-rows in tile 0 (a window holds
+    # CW positions)
+    nsk = tsp.K_TILE - 100
+    assert nsk > 3 * tsp.CW
+    sup = rng.choice(tsp.K_TILE, size=nsk, replace=False)
+    idx = sup * tsp.GROUP + rng.randint(0, tsp.GROUP, size=nsk)
     arrs, touched = _run_case(idx, tpad)
-    assert touched.sum() == 1600
+    assert touched.sum() == nsk
     _assert_match(arrs, touched)
 
 
