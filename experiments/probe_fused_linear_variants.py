@@ -34,7 +34,12 @@ w = jnp.asarray(rng.randn(E, F).astype(np.float32) * 0.1)
 
 
 def timeit(name, fn, *args, k=(4, 16)):
-    jf = jax.jit(fn)
+    # Scalarize INSIDE the jit: fetching the raw [F, S, B] output would pull
+    # 400 MB through the axon tunnel per call and swamp the measurement.
+    def scalarized(*a):
+        return fn(*a).astype(jnp.float32).sum()
+
+    jf = jax.jit(scalarized)
     try:
         out = jf(*args)
         jax.block_until_ready(out)
@@ -47,7 +52,7 @@ def timeit(name, fn, *args, k=(4, 16)):
         o = None
         for _ in range(kk):
             o = jf(*args)
-        jax.device_get(np.asarray(o).ravel()[0])
+        jax.device_get(o)
 
     run_k(2)
     dt = chained_rate(run_k, *k)

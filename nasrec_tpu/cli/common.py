@@ -9,6 +9,46 @@ from nasrec_tpu.config import SEARCH_MAX_NUM_EMBEDDINGS
 from nasrec_tpu.workloads import DataOptions, TrainOptions
 
 
+def add_distributed_args(p: argparse.ArgumentParser):
+    """Multi-process (multi-host) launch flags.
+
+    The reference is single-process/single-GPU (ref: nasrec/main_train.py:282);
+    these flags are the TPU-native pod-launch surface: every process runs the
+    same CLI with its own --process_id, jax.distributed is brought up before
+    any backend use, per-process data shards are assembled into global
+    batches (workloads._globalize_iterators), and --mesh_model shards the
+    table over the resulting global device mesh."""
+    p.add_argument("--num_processes", type=int, default=0,
+                   help=">1: bring up jax.distributed with this many "
+                        "processes before any backend use (multi-host "
+                        "launch; requires --coordinator_address and "
+                        "--process_id on every process)")
+    p.add_argument("--process_id", type=int, default=-1,
+                   help="this process's rank in [0, num_processes)")
+    p.add_argument("--coordinator_address", default=None,
+                   help="host:port of process 0's coordinator service")
+    p.add_argument("--host_id", type=int, default=-1,
+                   help="data-shard owner id (default: the process index); "
+                        "this process reads file shards where "
+                        "shard %% num_hosts == host_id")
+    p.add_argument("--num_hosts", type=int, default=0,
+                   help="total data-shard readers (default: process count)")
+
+
+def maybe_initialize_distributed(args) -> None:
+    """Bring up jax.distributed from the CLI flags (no-op single-process).
+    Must run before the first jax backend/device use."""
+    num = getattr(args, "num_processes", 0)
+    if num and num > 1:
+        from nasrec_tpu.parallel.distributed import initialize
+
+        initialize(
+            coordinator_address=args.coordinator_address,
+            num_processes=num,
+            process_id=args.process_id if args.process_id >= 0 else None,
+        )
+
+
 def add_data_args(p: argparse.ArgumentParser, train_bs=256, test_bs=16368):
     p.add_argument("--dataset", default="criteo-kaggle",
                    choices=["criteo-kaggle", "avazu", "kdd"])
@@ -76,15 +116,41 @@ def add_train_args(p: argparse.ArgumentParser, lr=0.16):
 
 
 def data_options(args) -> DataOptions:
+    # Multi-process: host_id/num_hosts default to this process's rank/count
+    # (jax.distributed must already be up — maybe_initialize_distributed).
+    host_id = getattr(args, "host_id", -1)
+    num_hosts = getattr(args, "num_hosts", 0)
+    train_bs = args.train_batch_size
+    test_bs = args.test_batch_size
+    if getattr(args, "num_processes", 0) and args.num_processes > 1:
+        import jax
+
+        if num_hosts <= 0:
+            num_hosts = jax.process_count()
+        if host_id < 0:
+            host_id = jax.process_index()
+        if args.data_source != "synthetic":
+            # Batch sizes are GLOBAL; host-sharded readers each feed their
+            # slice.  (Synthetic streams are replicated and sliced at
+            # assembly time instead — workloads._globalize_iterators.)
+            if train_bs % num_hosts or test_bs % num_hosts:
+                raise SystemExit(
+                    f"batch sizes ({train_bs}/{test_bs}) must divide evenly "
+                    f"across {num_hosts} hosts"
+                )
+            train_bs //= num_hosts
+            test_bs //= num_hosts
     return DataOptions(
         dataset=args.dataset,
         root_dir=args.root_dir,
         data_source=args.data_source,
         train_split=args.train_split,
         validate_split=args.validate_split,
-        train_batch_size=args.train_batch_size,
-        test_batch_size=args.test_batch_size,
+        train_batch_size=train_bs,
+        test_batch_size=test_bs,
         vocab_cap=SEARCH_MAX_NUM_EMBEDDINGS if args.cap_vocab else None,
+        host_id=max(host_id, 0),
+        num_hosts=max(num_hosts, 1),
     )
 
 

@@ -17,15 +17,22 @@ from __future__ import annotations
 import argparse
 
 from nasrec_tpu.choices import load_choice_file
-from nasrec_tpu.cli.common import add_data_args, add_train_args, data_options, train_options
+from nasrec_tpu.cli.common import (
+    add_data_args,
+    add_distributed_args,
+    add_train_args,
+    data_options,
+    maybe_initialize_distributed,
+    train_options,
+)
 from nasrec_tpu.configs import get_best_arch
-from nasrec_tpu.workloads import train_fixed_subnet, train_supernet, SupernetOptions
 
 
 def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     add_data_args(p)
     add_train_args(p, lr=0.16)
+    add_distributed_args(p)
     p.add_argument("--net", default="supernet-config",
                    choices=["supernet", "supernet-config"])
     p.add_argument("--supernet_config", default=None,
@@ -39,6 +46,13 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    maybe_initialize_distributed(args)  # before any jax backend use
+    from nasrec_tpu.workloads import (
+        SupernetOptions,
+        train_fixed_subnet,
+        train_supernet,
+    )
+
     data = data_options(args)
     train = train_options(args)
 

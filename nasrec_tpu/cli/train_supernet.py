@@ -12,14 +12,21 @@ from __future__ import annotations
 
 import argparse
 
-from nasrec_tpu.cli.common import add_data_args, add_train_args, data_options, train_options
-from nasrec_tpu.workloads import SupernetOptions, train_supernet
+from nasrec_tpu.cli.common import (
+    add_data_args,
+    add_distributed_args,
+    add_train_args,
+    data_options,
+    maybe_initialize_distributed,
+    train_options,
+)
 
 
 def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     add_data_args(p, train_bs=512, test_bs=4096)
     add_train_args(p, lr=0.12)
+    add_distributed_args(p)
     p.add_argument("--config", default="xlarge",
                    choices=["xlarge", "xlarge-zeros", "autoctr"])
     p.add_argument("--num_blocks", type=int, default=7)
@@ -46,6 +53,9 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    maybe_initialize_distributed(args)  # before any jax backend use
+    from nasrec_tpu.workloads import SupernetOptions, train_supernet
+
     sn = SupernetOptions(
         config=args.config,
         num_blocks=args.num_blocks,

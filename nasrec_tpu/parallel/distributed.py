@@ -42,6 +42,26 @@ def host_info():
     return jax.process_index(), jax.process_count()
 
 
+def fetch_array(x) -> np.ndarray:
+    """Array -> host numpy, multi-process safe.
+
+    Single-process (or fully-addressable) arrays take the plain device_get
+    path.  A multi-process global array (e.g. batch-sharded logits) is
+    all-gathered across processes first, so EVERY process gets the full
+    value and host-side metrics stay identical to a single-process run.
+    Collective: must be called by all processes in the same order."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
+def fetch_pytree(tree):
+    """device_get with the fetch_array multi-process gather per leaf."""
+    return jax.tree_util.tree_map(fetch_array, tree)
+
+
 def _local_rows(total_rows: int, num_hosts: int, host: int):
     """Row range of this host's table shard (tables are padded to a multiple
     of the model-axis size, see parallel/embedding.pad_table_for_sharding)."""

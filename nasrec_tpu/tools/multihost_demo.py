@@ -1,121 +1,113 @@
-"""Two-process multi-host demo: dp+tp training with jax.distributed.
+"""Two-process multi-host drive of the PRODUCTION training CLI.
 
-Validates the multi-host path end-to-end without TPU pod hardware: two OS
-processes (gloo CPU collectives), each exposing 4 virtual devices -> a global
-8-device (data=4, model=2) mesh; per-process data sharding; the full dp+tp
-train step (row-sharded table + psum lookups + gradient all-reduce); and a
-per-host sharded checkpoint.
+Validates the multi-host launch path end-to-end without TPU pod hardware:
+two OS processes run `python -m nasrec_tpu.cli.main_train --num_processes 2
+--process_id {0,1} --mesh_model 2 ...` over gloo CPU collectives (4 virtual
+devices each -> a global 8-device (data=4, model=2) mesh), and the printed
+training trajectory of process 0 is asserted equal to a SINGLE-process run
+of the identical global configuration (one process, 8 virtual devices).
 
-Run (spawns the second process itself):
+This exercises the full production stack across real process boundaries:
+jax.distributed bring-up from CLI flags (cli/common.py), per-process global
+batch assembly (workloads._globalize_iterators +
+jax.make_array_from_process_local_data), the dp+tp sparse train step with
+its cross-process all_gather, multi-process metric fetches
+(parallel.distributed.fetch_array), and the end-of-run param gather.
+
+The reference has no distributed analogue (SURVEY.md §2.9 — it is
+single-process/single-GPU, ref: nasrec/main_train.py:282); this is the
+BASELINE north-star launch path (config #5: >= 2 hosts).
+
+Run (spawns all workers itself):
   python -m nasrec_tpu.tools.multihost_demo
+Prints MULTIHOST_OK on success.
 """
 
 from __future__ import annotations
 
 import os
+import re
 import subprocess
 import sys
 
+COORD = "127.0.0.1:23519"
+STEPS = 12
+CLI_ARGS = [
+    "-m", "nasrec_tpu.cli.main_train",
+    "--net", "supernet-config", "--arch", "criteo-kaggle/xlarge",
+    "--data_source", "synthetic",
+    "--train_batch_size", "64", "--test_batch_size", "64",
+    "--max_train_steps", str(STEPS), "--display_interval", "3",
+    "--test_interval", "6", "--max_eval_steps", "2",
+    "--learning_rate", "0.05", "--mesh_model", "2",
+]
 
-def worker(process_id: int, num_processes: int, coordinator: str) -> None:
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["XLA_FLAGS"] = (
-        os.environ.get("XLA_FLAGS", "")
-        + " --xla_force_host_platform_device_count=4"
+
+def _env(devices: int) -> dict:
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_CPU_COLLECTIVES_IMPLEMENTATION"] = "gloo"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={devices}"
     ).strip()
-    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    return env
 
-    import numpy as np
-    import jax
 
-    jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_cpu_collectives_implementation", "gloo")
-    jax.distributed.initialize(
-        coordinator_address=coordinator,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
-    import jax.numpy as jnp
-
-    from nasrec_tpu.config import OPS_CONFIG_LIB
-    from nasrec_tpu.configs import get_best_arch
-    from nasrec_tpu.models import build_fixed_plan, fixed_apply, fixed_init
-    from nasrec_tpu.parallel import (
-        make_mesh,
-        make_parallel_train_step,
-        make_sharded_stem_lookup,
-        pad_table_for_sharding,
-        shard_train_state,
-    )
-    from nasrec_tpu.parallel.distributed import save_sharded_checkpoint
-    from nasrec_tpu.train import make_optimizer
-    from nasrec_tpu.train.loop import init_train_state
-
-    assert jax.process_count() == num_processes
-    assert jax.device_count() == 4 * num_processes, jax.devices()
-
-    mesh = make_mesh(model=2)  # global (data=4, model=2)
-    lookup = make_sharded_stem_lookup(mesh)
-    plan = build_fixed_plan(
-        get_best_arch("criteo-kaggle", "xlarge"), OPS_CONFIG_LIB["xlarge"],
-        7, 13, 26, tuple([32] * 26), use_layernorm=False,
-    )
-    params = fixed_init(jax.random.PRNGKey(0), plan)
-    params["embedding"] = pad_table_for_sharding(params["embedding"], 2)
-    opt = make_optimizer("adagrad")
-    state = shard_train_state(init_train_state(params, opt), mesh)
-    step = make_parallel_train_step(
-        lambda p, d, c: fixed_apply(plan, p, d, c, stem_lookup=lookup),
-        opt, lambda s: jnp.asarray(0.01), mesh,
-    )
-
-    # Per-process batch shard -> global array (this process's rows only).
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    gbs = 32
-    rng = np.random.RandomState(0)  # same global batch on every process
-    gd = rng.randn(gbs, 13).astype(np.float32)
-    gc = rng.randint(0, 32, size=(gbs, 26)).astype(np.int32)
-    gy = rng.randint(0, 2, size=(gbs, 1)).astype(np.float32)
-
-    def make_global(x):
-        sharding = NamedSharding(mesh, P("data"))
-        return jax.make_array_from_process_local_data(sharding, x)
-
-    losses = []
-    for _ in range(3):
-        state, metrics = step(state, make_global(gd), make_global(gc), make_global(gy))
-        losses.append(float(metrics["loss"]))
-    assert all(np.isfinite(l) for l in losses), losses
-    # The strong correctness claim — dp+tp == single-device bit-for-near — is
-    # pinned by tests/test_parallel.py on a virtual mesh; this demo verifies
-    # the same trajectory holds across REAL process boundaries (it matches the
-    # single-process run of the identical config to ~1e-6).
-
-    out_dir = os.environ.get("MULTIHOST_DEMO_OUT", "/tmp/nasrec_multihost_demo")
-    save_sharded_checkpoint(out_dir, state)
-    if process_id == 0:
-        from nasrec_tpu.parallel.distributed import load_sharded_checkpoint
-
-        loaded = load_sharded_checkpoint(out_dir)
-        assert loaded["params"]["embedding"]["table"].shape[0] == 32 * 26
-        print(f"MULTIHOST_OK losses={['%.5f' % l for l in losses]}", flush=True)
+def _losses(out: str):
+    """Parse (train losses, test losses) from the CLI's printed trajectory."""
+    train = [float(m) for m in re.findall(r"step \d+ loss ([0-9.]+)", out)]
+    test = [float(m) for m in re.findall(r"TEST .* loss ([0-9.]+)", out)]
+    return train, test
 
 
 def main():
-    coordinator = "127.0.0.1:23511"
-    if "MULTIHOST_DEMO_RANK" in os.environ:
-        worker(int(os.environ["MULTIHOST_DEMO_RANK"]), 2, coordinator)
-        return
-    env1 = dict(os.environ, MULTIHOST_DEMO_RANK="1")
-    p1 = subprocess.Popen([sys.executable, "-m", "nasrec_tpu.tools.multihost_demo"],
-                          env=env1)
-    try:
-        worker(0, 2, coordinator)
-    finally:
-        p1.wait(timeout=300)
-    if p1.returncode != 0:
-        raise SystemExit(f"worker 1 failed: {p1.returncode}")
+    # All three processes (1x single-process reference + the 2-process gloo
+    # pair) run CONCURRENTLY — the wall time is dominated by CPU jit
+    # compiles, which are independent.
+    dist = ["--num_processes", "2", "--coordinator_address", COORD]
+    menv = _env(4)
+    procs = {
+        "single": subprocess.Popen(
+            [sys.executable] + CLI_ARGS, env=_env(8),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ),
+        "proc1": subprocess.Popen(
+            [sys.executable] + CLI_ARGS + dist + ["--process_id", "1"],
+            env=menv, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        ),
+        "proc0": subprocess.Popen(
+            [sys.executable] + CLI_ARGS + dist + ["--process_id", "0"],
+            env=menv, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        ),
+    }
+    outs = {k: p.communicate(timeout=900)[0] for k, p in procs.items()}
+    bad = {k: p.returncode for k, p in procs.items() if p.returncode != 0}
+    if bad:
+        detail = "\n".join(f"--- {k} ---\n{outs[k]}" for k in outs)
+        raise SystemExit(f"runs failed {bad}:\n{detail}")
+
+    single_train, single_test = _losses(outs["single"])
+    multi_train, multi_test = _losses(outs["proc0"])
+    assert len(single_train) >= 3 and len(single_test) >= 2, (
+        single_train, single_test
+    )
+    assert len(single_train) == len(multi_train), (single_train, multi_train)
+    assert len(single_test) == len(multi_test), (single_test, multi_test)
+    # gloo vs shared-memory collectives may reorder f32 reductions; the
+    # trajectories must agree to float-accumulation noise.
+    for a, b in zip(single_train + single_test, multi_train + multi_test):
+        assert abs(a - b) <= 1e-4 * max(1.0, abs(a)), (
+            (single_train, single_test), (multi_train, multi_test)
+        )
+    print(
+        "MULTIHOST_OK train=" + repr([f"{l:.6f}" for l in multi_train])
+        + " test=" + repr([f"{l:.6f}" for l in multi_test]),
+        flush=True,
+    )
 
 
 if __name__ == "__main__":

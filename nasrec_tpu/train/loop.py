@@ -31,6 +31,28 @@ from nasrec_tpu.train.optim import (
 )
 
 
+def _fetch(x):
+    """Host numpy fetch that survives multi-process global arrays (gathers
+    across processes so metrics equal the single-process run; collective —
+    every process must reach the same fetches in the same order)."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from nasrec_tpu.parallel.distributed import fetch_array
+
+        return fetch_array(x)
+    return np.asarray(x)
+
+
+def _fetch_params(params):
+    """device_get of a param pytree, gathering multi-process shards."""
+    leaves = jax.tree_util.tree_leaves(params)
+    if any(isinstance(l, jax.Array) and not l.is_fully_addressable
+           for l in leaves):
+        from nasrec_tpu.parallel.distributed import fetch_pytree
+
+        return fetch_pytree(params)
+    return jax.device_get(params)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class TrainState:
@@ -173,8 +195,8 @@ def evaluate_one_epoch(
             if m is not None
             else eval_step(params, dense, cat)
         )
-        all_logits.append(np.asarray(logits).ravel())
-        all_labels.append(np.asarray(y).ravel())
+        all_logits.append(_fetch(logits).ravel())
+        all_labels.append(_fetch(y).ravel())
         if verbose and (i + 1) % 50 == 0:
             print(f"eval: {i + 1} batches")
     if not all_logits:
@@ -246,8 +268,8 @@ def train_and_test_one_epoch(
                 logs["test_AUROC"].append(-1)
                 logs["test_Accuracy"].append(-1)
                 return state, logs, best_params
-            logits = np.asarray(metrics["logits"]).ravel()
-            labels = np.asarray(y).ravel()
+            logits = _fetch(metrics["logits"]).ravel()
+            labels = _fetch(y).ravel()
             probs = stable_sigmoid(logits)
             try:
                 train_auroc = auc_exact(labels, probs)
@@ -293,7 +315,7 @@ def train_and_test_one_epoch(
                     metrics_writer.scalar(f"AUROC/test/epoch{epoch}", auroc, batch_num)
                 if keep_best and tloss < best_test_loss:
                     best_test_loss = tloss
-                    best_params = jax.device_get(state.params)
+                    best_params = _fetch_params(state.params)
 
         if max_train_steps != -1 and batch_num >= max_train_steps - 1:
             return state, logs, best_params

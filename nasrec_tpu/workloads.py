@@ -179,6 +179,55 @@ def _shard_state_for_mesh(params, opt, mesh_model: int, start_step: int = 0,
     return mesh, shard_train_state(state, mesh)
 
 
+def _globalize_iterators(mesh, train_iter_fn, test_iter_fn, *,
+                         slice_local: bool):
+    """Multi-process batch assembly: wrap batch iterators so every yielded
+    array becomes a GLOBAL jax.Array sharded P("data") over the mesh, built
+    from this process's local rows via jax.make_array_from_process_local_data.
+
+    slice_local=True is the replicated-stream case (synthetic data: every
+    process generates the identical global batch) — each process feeds only
+    its own row range, so the assembled global batch equals the
+    single-process batch exactly.  slice_local=False is the host-sharded
+    case (tsv: each process reads disjoint file shards) — the local batch IS
+    this process's shard and the global batch is the concatenation (global
+    batch size = local size x process_count).  All processes must yield the
+    same number of batches (collectives are synchronous); the stratified
+    8/1/1 shard split keeps counts equal up to one trailing batch, which the
+    pipeline already drops when short."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P("data"))
+    pid, pc = jax.process_index(), jax.process_count()
+
+    def glob(x):
+        x = np.asarray(x)
+        if slice_local:
+            assert x.shape[0] % pc == 0, (x.shape, pc)
+            per = x.shape[0] // pc
+            local = x[pid * per:(pid + 1) * per]
+            gshape = x.shape
+        else:
+            local = x
+            gshape = (x.shape[0] * pc,) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, local, gshape)
+
+    def wrap(it_fn):
+        def wrapped(*a, **k):
+            for batch in it_fn(*a, **k):
+                yield tuple(glob(x) for x in batch)
+        return wrapped
+
+    return wrap(train_iter_fn), wrap(test_iter_fn)
+
+
+def _fetch_params_np(params):
+    """device_get that survives multi-process shards (collective)."""
+    from nasrec_tpu.train.loop import _fetch_params
+
+    return _fetch_params(params)
+
+
 def _spec_and_vocab(data: DataOptions):
     spec = DATASETS[data.dataset]
     if data.data_source == "synthetic":
@@ -282,6 +331,8 @@ def _dump_logs(logging_dir: Optional[str], epoch_logs, options: Dict, ckpt_paylo
                ckpt_name: str = "checkpoint.pkl", ckpt_backend: str = "pickle"):
     if not logging_dir:
         return
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return  # one writer per (possibly shared) filesystem
     os.makedirs(logging_dir, exist_ok=True)
     with open(os.path.join(logging_dir, "configs_args.json"), "w") as f:
         json.dump(options, f, indent=2, default=str)
@@ -498,6 +549,17 @@ def train_fixed_subnet(
                 lambda p, d, c: fixed_apply(plan, p, d, c, compute_dtype=cdt)
             )
     train_iter_fn, test_iter_fn = _make_iterators(data)
+    if jax.process_count() > 1:
+        if train.mesh_model <= 0:
+            raise ValueError(
+                "multi-process training requires --mesh_model > 0 (the "
+                "(data, model) mesh is what the per-process batch shards "
+                "are assembled onto)"
+            )
+        train_iter_fn, test_iter_fn = _globalize_iterators(
+            mesh, train_iter_fn, test_iter_fn,
+            slice_local=(data.data_source == "synthetic"),
+        )
 
     if train.report_flops:
         _report_model_stats(
@@ -529,6 +591,11 @@ def train_fixed_subnet(
 
     def _unpack_sweep_params(p):
         """Sweep layout -> standard [vocab, 16] checkpoint format."""
+        if jax.process_count() > 1:
+            # Gather the shards first; the unpack below then runs on
+            # process-local (replicated) values instead of issuing eager ops
+            # on non-addressable global arrays.
+            p = _fetch_params_np(p)
         if train.mesh_model > 0:
             from nasrec_tpu.parallel import unpack_table_from_mesh
 
@@ -541,7 +608,7 @@ def train_fixed_subnet(
             table_std = unpack_rows(p["embedding"]["table"], int(sum(vocab)))
         out = dict(p)
         out["embedding"] = {**p["embedding"], "table": table_std}
-        return jax.device_get(out)
+        return _fetch_params_np(out)
 
     if packed_eval:
         saved_params = _unpack_sweep_params(state.params)
@@ -550,7 +617,7 @@ def train_fixed_subnet(
         if best is not None:
             best = _unpack_sweep_params(best)
     else:
-        saved_params = _unpad_params(jax.device_get(state.params), vocab)
+        saved_params = _unpad_params(_fetch_params_np(state.params), vocab)
     if train.place_embedding_on_cpu:
         saved_params = dict(saved_params)
         saved_params["embedding"] = {"table": host_emb.table}
@@ -759,6 +826,17 @@ def train_supernet(
             full_path_choice(space, sn.num_blocks), space, sn.num_blocks
         )
     train_iter_fn, test_iter_fn = _make_iterators(data)
+    if jax.process_count() > 1:
+        if train.mesh_model <= 0:
+            raise ValueError(
+                "multi-process training requires --mesh_model > 0 (the "
+                "(data, model) mesh is what the per-process batch shards "
+                "are assembled onto)"
+            )
+        train_iter_fn, test_iter_fn = _globalize_iterators(
+            mesh, train_iter_fn, test_iter_fn,
+            slice_local=(data.data_source == "synthetic"),
+        )
 
     from nasrec_tpu.train.logging import MetricsWriter
 
@@ -793,8 +871,8 @@ def train_supernet(
         epoch_logs.append(logs)
     writer.close()
 
-    saved_params = _unpad_params(jax.device_get(state.params), vocab)
-    saved_opt = _unpad_params(jax.device_get(state.opt_state), vocab)
+    saved_params = _unpad_params(_fetch_params_np(state.params), vocab)
+    saved_opt = _unpad_params(_fetch_params_np(state.opt_state), vocab)
     if train.place_embedding_on_cpu:
         saved_params = {**saved_params, "embedding": {"table": host_emb.table}}
         saved_opt = {**saved_opt, "embedding": {"table": host_emb.acc}}
