@@ -123,7 +123,27 @@ def _ln_b(p: Params, x: jnp.ndarray, axis: int, eps: float = LN_EPS) -> jnp.ndar
 def _transformer_bmajor(
     p: Params, xb: jnp.ndarray, slot_mask, num_heads: int
 ) -> jnp.ndarray:
-    """Post-projection transformer body on b-major [E, out_slots, B]."""
+    """Post-projection transformer body on b-major [E, out_slots, B].
+
+    The whole body (qkv/attention/out/LN/FFN/LN) runs as ONE fused Pallas
+    kernel (ops/kernels/transformer_body_pallas.py) — the unfused variant
+    below paid ~2x the kernel's time again in XLA glue round trips
+    (experiments/probe_block0_ops.py).  Slot masks stay outside the kernel
+    (exact mask gradients; fixed mode passes None and pays nothing)."""
+    from nasrec_tpu.ops.kernels.transformer_body_pallas import (
+        transformer_body_fused_params,
+    )
+
+    interpret = jax.default_backend() != "tpu"
+    xb = apply_mask(xb, slot_mask, axis=1)    # mask slot axis (ref :653-662)
+    out = transformer_body_fused_params(p, xb, num_heads, interpret)
+    return apply_mask(out, slot_mask, axis=1)  # final slot mask (ref :678-686)
+
+
+def _transformer_bmajor_unfused(
+    p: Params, xb: jnp.ndarray, slot_mask, num_heads: int
+) -> jnp.ndarray:
+    """Op-by-op b-major body (the fused kernel's reference in tests)."""
     from nasrec_tpu.ops.kernels.attention_pallas import tiny_head_attention_bmajor
 
     interpret = jax.default_backend() != "tpu"

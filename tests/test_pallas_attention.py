@@ -78,3 +78,51 @@ def test_fixed_model_pallas_attention(rng):
     la, lb = jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)
     for x_, y_ in zip(la, lb):
         np.testing.assert_allclose(np.asarray(x_), np.asarray(y_), rtol=5e-3, atol=1e-4)
+
+
+def test_fused_body_matches_unfused(rng):
+    """The fully-fused transformer-body kernel (qkv/attention/out/LN/FFN/LN
+    in one pallas_call + one backward pallas_call producing all param grads)
+    must match the op-by-op b-major path, fwd and vjp, with and without a
+    slot mask."""
+    from nasrec_tpu.ops.attention import (
+        _transformer_bmajor,
+        _transformer_bmajor_unfused,
+        transformer_init,
+    )
+
+    e, s_out, b, h = 16, 24, 128, 8
+    p = transformer_init(jax.random.PRNGKey(3), 26, s_out, e, use_layernorm=False)
+    xb = jnp.asarray(rng.randn(e, s_out, b).astype(np.float32) * 0.3)
+    ct = jnp.asarray(rng.randn(e, s_out, b).astype(np.float32))
+    mask = jnp.asarray((np.arange(s_out) < 20).astype(np.float32))
+
+    for m in (None, mask):
+        yf, vjpf = jax.vjp(lambda pp, xx: _transformer_bmajor(pp, xx, m, h), p, xb)
+        yg, vjpg = jax.vjp(
+            lambda pp, xx: _transformer_bmajor_unfused(pp, xx, m, h), p, xb
+        )
+        np.testing.assert_allclose(np.asarray(yf), np.asarray(yg),
+                                   rtol=1e-5, atol=1e-5)
+        gf, gg = vjpf(ct), vjpg(ct)
+        for a, b_ in zip(jax.tree_util.tree_leaves(gf),
+                         jax.tree_util.tree_leaves(gg)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-4, atol=2e-4)
+
+
+def test_fused_body_bf16_compute(rng):
+    """AMP: bf16 activations run through the fused kernel (f32 internal
+    math) and track the f32 result."""
+    from nasrec_tpu.ops.attention import _transformer_bmajor, transformer_init
+
+    e, s_out, b, h = 16, 16, 128, 8
+    p = transformer_init(jax.random.PRNGKey(1), 20, s_out, e, use_layernorm=False)
+    xb = jnp.asarray(rng.randn(e, s_out, b).astype(np.float32) * 0.3)
+    y32 = _transformer_bmajor(p, xb, None, h)
+    y16 = _transformer_bmajor(p, xb.astype(jnp.bfloat16), None, h)
+    assert y16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(y16.astype(jnp.float32)), np.asarray(y32),
+        rtol=2e-2, atol=2e-2,
+    )
