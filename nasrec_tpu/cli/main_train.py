@@ -41,6 +41,9 @@ def build_parser():
                    help="Built-in arch '<dataset>/<space>', e.g. criteo-kaggle/xlarge")
     p.add_argument("--use_layernorm", type=int, default=0,
                    help="Fixed subnets train with LN off by default (ref: main_train.py:262)")
+    p.add_argument("--last_n_blocks_out", type=int, default=1,
+                   help="head reads the concat of the last N blocks' outputs "
+                        "(ref constructor param: supernet.py:226)")
     return p
 
 
@@ -60,7 +63,8 @@ def main(argv=None):
         # Train the full supernet path (ref: main_train.py:244-254).
         return train_supernet(
             SupernetOptions(config="xlarge", num_blocks=7, use_layernorm=True,
-                            strategy="full-path", supernet_training_steps=0),
+                            strategy="full-path", supernet_training_steps=0,
+                            last_n_blocks_out=args.last_n_blocks_out),
             data, train,
         )
 
@@ -76,6 +80,7 @@ def main(argv=None):
     return train_fixed_subnet(
         payload, data, train, use_layernorm=args.use_layernorm == 1,
         use_final_sigmoid=args.use_final_sigmoid == 1,
+        last_n_blocks_out=args.last_n_blocks_out,
     )
 
 

@@ -31,6 +31,9 @@ def build_parser():
                    choices=["xlarge", "xlarge-zeros", "autoctr"])
     p.add_argument("--num_blocks", type=int, default=7)
     p.add_argument("--use_layernorm", type=int, default=1)
+    p.add_argument("--last_n_blocks_out", type=int, default=1,
+                   help="head reads the concat of the last N blocks' outputs "
+                        "(ref constructor param: supernet.py:226)")
     p.add_argument("--strategy", default="default",
                    choices=["default", "single-path", "any-path", "full-path",
                             "fixed-path", "evo-2shot-path"])
@@ -68,6 +71,7 @@ def main(argv=None):
         pretrained_emb_path=args.pretrained_emb_path,
         use_final_sigmoid=args.use_final_sigmoid == 1,
         eval_path=args.eval_path,
+        last_n_blocks_out=args.last_n_blocks_out,
     )
     return train_supernet(sn, data_options(args), train_options(args))
 

@@ -400,6 +400,7 @@ def train_fixed_subnet(
     train: TrainOptions = TrainOptions(),
     use_layernorm: bool = False,   # reference trains best models without LN
     use_final_sigmoid: bool = False,  # ref: supernet.py:284-287
+    last_n_blocks_out: int = 1,    # ref constructor param: supernet.py:226
     log_fn: Callable[[str], None] = print,
 ) -> Dict[str, Any]:
     """Train one fixed subnet from scratch (ref: main_train.py:77-221)."""
@@ -411,6 +412,7 @@ def train_fixed_subnet(
         choice, space, num_blocks, spec.num_dense, spec.num_sparse, vocab,
         use_layernorm=use_layernorm, activation=train.activation,
         use_final_sigmoid=use_final_sigmoid,
+        last_n_blocks_out=last_n_blocks_out,
     )
     params = fixed_init(jax.random.PRNGKey(train.seed), plan)
     cdt = _compute_dtype(train)
@@ -659,6 +661,9 @@ class SupernetOptions:
     eval_path: str = "sampled"
     # Apply sigmoid to the final output (ref: supernet.py:284-287).
     use_final_sigmoid: bool = False
+    # Head reads the concatenation of the last N blocks' outputs
+    # (ref constructor param: supernet.py:226).
+    last_n_blocks_out: int = 1
 
 
 def train_supernet(
@@ -675,6 +680,7 @@ def train_supernet(
         num_sparse=spec.num_sparse, vocab_sizes=vocab,
         use_layernorm=sn.use_layernorm, activation=train.activation,
         use_final_sigmoid=sn.use_final_sigmoid,
+        last_n_blocks_out=sn.last_n_blocks_out,
     )
     params = supernet_init(jax.random.PRNGKey(train.seed), cfg)
     cdt = _compute_dtype(train)

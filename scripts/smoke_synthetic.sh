@@ -18,4 +18,5 @@ python -u -m nasrec_tpu.cli.eval_subnet_from_scratch --config autoctr \
     --num_blocks 3 --data_source synthetic --num_subnets 2 \
     --train_batch_size 256 --test_batch_size 512 \
     --max_train_steps 10 --max_eval_steps 2 --test_interval 10
+python -u -m nasrec_tpu.tools.sweep_device_check
 echo "smoke OK"
