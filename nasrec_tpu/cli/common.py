@@ -107,6 +107,11 @@ def add_train_args(p: argparse.ArgumentParser, lr=0.16):
                    choices=["pickle", "orbax"],
                    help="checkpoint format: single pickle file or an orbax "
                         "directory (async, multi-host array storage)")
+    p.add_argument("--attention_impl", default="auto",
+                   choices=["auto", "xla", "pallas"],
+                   help="transformer-node impl: 'auto' = fused Pallas body "
+                        "kernel on TPU, XLA elsewhere; training batches on "
+                        "the pallas path must be multiples of 128")
     p.add_argument("--table_update", default="scatter",
                    choices=["scatter", "sweep"],
                    help="sparse-embedding update impl: touched-row XLA "
@@ -180,4 +185,5 @@ def train_options(args) -> TrainOptions:
         ckpt_backend=args.ckpt_backend,
         micro_batches=args.micro_batches,
         table_update=args.table_update,
+        attention_impl=args.attention_impl,
     )

@@ -73,11 +73,15 @@ def _pick_tile(b: int, e: int, s: int, *, bwd: bool) -> int:
             t = min(t, b)
             # The backward's weight/bias grads reduce over the LANE (batch)
             # axis, so padding lanes of a partial tile would poison them —
-            # the batch must tile exactly.
-            if b % t:
+            # TRAINING batches must tile exactly.  The forward is lane-local
+            # (linears, LN-over-features and the attention math never cross
+            # lanes), so eval-only batches of any size are fine: partial
+            # tiles compute garbage only in out-of-bounds lanes, which the
+            # block write masks out.
+            if bwd and b % t:
                 raise ValueError(
-                    f"fused transformer body: batch {b} is not a multiple "
-                    f"of the {t}-lane tile; pad the batch"
+                    f"fused transformer body: training batch {b} is not a "
+                    f"multiple of the {t}-lane tile; pad the batch"
                 )
             return t
     raise ValueError(

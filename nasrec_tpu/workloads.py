@@ -126,6 +126,12 @@ class TrainOptions:
     # lax.scan (sparse-embedding path): peak activation HBM drops to one
     # slice, update math stays full-batch — the batch>=65536 enabler.
     micro_batches: int = 1
+    # Transformer-node implementation: "auto" picks the fused Pallas body
+    # kernel on TPU (ops/kernels/transformer_body_pallas.py; blocks 0/5/6
+    # f+b 38/5/24 -> 18/6/10 ms at batch 32768) and the plain XLA ops
+    # elsewhere (the Pallas interpreter is slow on CPU).  Training batches
+    # on the pallas path must be multiples of 128.
+    attention_impl: str = "auto"     # auto | xla | pallas
 
 
 def _use_sparse_embedding(train: "TrainOptions") -> bool:
@@ -281,6 +287,12 @@ def _compute_dtype(train: TrainOptions):
     return jnp.bfloat16 if train.compute_dtype in ("bf16", "bfloat16") else jnp.float32
 
 
+def _attention_impl(train: TrainOptions) -> str:
+    if train.attention_impl != "auto":
+        return train.attention_impl
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
 def _validate_train_options(train: TrainOptions) -> None:
     """Reject silently-conflicting option combinations up front."""
     if train.mesh_model > 0 and train.place_embedding_on_cpu:
@@ -413,6 +425,7 @@ def train_fixed_subnet(
         use_layernorm=use_layernorm, activation=train.activation,
         use_final_sigmoid=use_final_sigmoid,
         last_n_blocks_out=last_n_blocks_out,
+        attention_impl=_attention_impl(train),
     )
     params = fixed_init(jax.random.PRNGKey(train.seed), plan)
     cdt = _compute_dtype(train)
@@ -681,6 +694,7 @@ def train_supernet(
         use_layernorm=sn.use_layernorm, activation=train.activation,
         use_final_sigmoid=sn.use_final_sigmoid,
         last_n_blocks_out=sn.last_n_blocks_out,
+        attention_impl=_attention_impl(train),
     )
     params = supernet_init(jax.random.PRNGKey(train.seed), cfg)
     cdt = _compute_dtype(train)

@@ -126,3 +126,38 @@ def test_fused_body_bf16_compute(rng):
         np.asarray(y16.astype(jnp.float32)), np.asarray(y32),
         rtol=2e-2, atol=2e-2,
     )
+
+
+def test_supernet_pallas_attention_matches_xla(rng):
+    """Supernet forward+grad with the fused pallas body (masked elastic
+    slots) == the XLA implementation."""
+    import dataclasses
+    from nasrec_tpu.config import OPS_CONFIG_LIB
+    from nasrec_tpu.choices import choice_to_masks
+    from nasrec_tpu.models import SuperNetConfig, supernet_apply, supernet_init
+    from nasrec_tpu.sampling import ChoiceSampler
+
+    space = OPS_CONFIG_LIB["xlarge"]
+    cfg_x = SuperNetConfig(
+        space=space, num_blocks=3, num_dense=13, num_sparse=26,
+        vocab_sizes=tuple([32] * 26), use_layernorm=True,
+        attention_impl="xla",
+    )
+    cfg_p = dataclasses.replace(cfg_x, attention_impl="pallas")
+    params = supernet_init(jax.random.PRNGKey(0), cfg_x)
+    sampler = ChoiceSampler(space, 3, strategy="default", seed=5)
+    masks = choice_to_masks(sampler(), space, 3)
+    d = jnp.asarray(rng.randn(128, 13).astype(np.float32))
+    c = jnp.asarray(rng.randint(0, 32, size=(128, 26)).astype(np.int32))
+
+    a = supernet_apply(cfg_x, params, d, c, masks)
+    b = supernet_apply(cfg_p, params, d, c, masks)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-4)
+
+    ga = jax.grad(lambda p: jnp.sum(supernet_apply(cfg_x, p, d, c, masks)))(params)
+    gb = jax.grad(lambda p: jnp.sum(supernet_apply(cfg_p, p, d, c, masks)))(params)
+    for x_, y_ in zip(jax.tree_util.tree_leaves(ga),
+                      jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(x_), np.asarray(y_),
+                                   rtol=5e-3, atol=2e-4)
