@@ -112,39 +112,69 @@ def add_train_args(p: argparse.ArgumentParser, lr=0.16):
                    help="transformer-node impl: 'auto' = fused Pallas body "
                         "kernel on TPU, XLA elsewhere; training batches on "
                         "the pallas path must be multiples of 128")
-    p.add_argument("--table_update", default="scatter",
-                   choices=["scatter", "sweep"],
+    p.add_argument("--table_update", default="auto",
+                   choices=["auto", "scatter", "sweep"],
                    help="sparse-embedding update impl: touched-row XLA "
                         "scatter, or the Pallas streaming sweep on the "
                         "packed table layout (5.3x faster at full Criteo "
-                        "vocab, batch 32768)")
+                        "vocab, batch 32768); 'auto' (default) picks per "
+                        "run from measured cost models — sweep when update "
+                        "positions x 104 ns exceeds the table-stream time")
 
 
-def data_options(args) -> DataOptions:
+def data_options(args, globalized: bool = True) -> DataOptions:
     # Multi-process: host_id/num_hosts default to this process's rank/count
     # (jax.distributed must already be up — maybe_initialize_distributed).
+    # globalized=True is the training-CLI contract: batch sizes are GLOBAL
+    # and per-process tsv shards are reassembled into global batches
+    # (workloads._globalize_iterators).  globalized=False is the search
+    # fan-out contract: each process consumes its stream locally at the
+    # FULL batch size (candidate groups, not batches, are what is split
+    # across processes).
     host_id = getattr(args, "host_id", -1)
     num_hosts = getattr(args, "num_hosts", 0)
     train_bs = args.train_batch_size
     test_bs = args.test_batch_size
-    if getattr(args, "num_processes", 0) and args.num_processes > 1:
+    if (getattr(args, "num_processes", 0) and args.num_processes > 1
+            and not globalized):
+        # Search fan-out: every process reads the FULL dataset (parity with
+        # the reference's searcher workers, which each build identical
+        # pipes, ref: searcher_utils.py:57-104); only candidate groups are
+        # split across processes.  Explicit --host_id/--num_hosts still
+        # override for deliberate per-process shard reading.
+        pass
+    elif getattr(args, "num_processes", 0) and args.num_processes > 1:
         import jax
 
         if num_hosts <= 0:
             num_hosts = jax.process_count()
+        elif num_hosts != jax.process_count():
+            # _globalize_iterators reassembles global batches with
+            # jax.process_count(); a mismatched explicit --num_hosts would
+            # silently shrink the effective global batch and leave the file
+            # shards of absent host ids unread (r3 advisor finding).
+            raise SystemExit(
+                f"--num_hosts {num_hosts} does not match the actual process "
+                f"count {jax.process_count()}; omit --num_hosts (it defaults "
+                "to the process count) or launch that many processes"
+            )
         if host_id < 0:
             host_id = jax.process_index()
-        if args.data_source != "synthetic":
-            # Batch sizes are GLOBAL; host-sharded readers each feed their
-            # slice.  (Synthetic streams are replicated and sliced at
-            # assembly time instead — workloads._globalize_iterators.)
+        if globalized:
+            # Batch sizes are GLOBAL; they must divide across hosts.
+            # tsv: host-sharded readers each feed their slice.  Synthetic:
+            # streams are replicated and sliced at assembly time
+            # (workloads._globalize_iterators), which needs the same
+            # divisibility — validated here up front rather than failing
+            # with a bare assert on the first batch (r3 advisor finding).
             if train_bs % num_hosts or test_bs % num_hosts:
                 raise SystemExit(
                     f"batch sizes ({train_bs}/{test_bs}) must divide evenly "
                     f"across {num_hosts} hosts"
                 )
-            train_bs //= num_hosts
-            test_bs //= num_hosts
+            if args.data_source != "synthetic":
+                train_bs //= num_hosts
+                test_bs //= num_hosts
     return DataOptions(
         dataset=args.dataset,
         root_dir=args.root_dir,

@@ -68,22 +68,28 @@ def _pick_tile(b: int, e: int, s: int, *, bwd: bool) -> int:
     k_feat = 60 if bwd else 50       # in units of E feature rows
     k_slab = 20 if bwd else 15
     per_lane = 4 * (2 * n_io * 2 * e * s + k_feat * e * s + k_slab * s * s)
-    for t in (512, 256, 128):
-        if t * per_lane <= VMEM_BUDGET:
-            t = min(t, b)
-            # The backward's weight/bias grads reduce over the LANE (batch)
-            # axis, so padding lanes of a partial tile would poison them —
-            # TRAINING batches must tile exactly.  The forward is lane-local
-            # (linears, LN-over-features and the attention math never cross
-            # lanes), so eval-only batches of any size are fine: partial
-            # tiles compute garbage only in out-of-bounds lanes, which the
-            # block write masks out.
-            if bwd and b % t:
-                raise ValueError(
-                    f"fused transformer body: training batch {b} is not a "
-                    f"multiple of the {t}-lane tile; pad the batch"
-                )
-            return t
+    fits = [t for t in (512, 256, 128) if t * per_lane <= VMEM_BUDGET]
+    if fits:
+        # The backward's weight/bias grads reduce over the LANE (batch)
+        # axis, so padding lanes of a partial tile would poison them —
+        # TRAINING batches must tile exactly: pick the largest fitting tile
+        # that also DIVIDES b (e.g. B=640 at S=16 fits 512 but must tile at
+        # 128), honouring the documented multiples-of-128 contract.  The
+        # forward is lane-local (linears, LN-over-features and the attention
+        # math never cross lanes), so eval-only batches of any size are
+        # fine: partial tiles compute garbage only in out-of-bounds lanes,
+        # which the block write masks out.
+        if not bwd:
+            return min(fits[0], b)
+        for t in fits:
+            t = min(t, b)      # a whole-batch tile has no padding lanes
+            if b % t == 0:
+                return t
+        raise ValueError(
+            f"fused transformer body: training batch {b} is not a "
+            f"multiple of any fitting lane tile {fits}; pad the batch "
+            f"to a multiple of 128"
+        )
     raise ValueError(
         f"fused transformer body: no batch tile fits VMEM at S={s} "
         f"(per-lane bytes {per_lane}); use attention_impl='xla'"

@@ -96,6 +96,12 @@ class TrainOptions:
     # which is the difference between 0.9ms and 16ms/step at full Criteo vocab.
     sparse_embedding: Any = "auto"     # "auto" | True | False
     # How the sparse path applies the table update (single-chip path):
+    #   "auto"    — pick per run from measured cost models (the default, so
+    #               flagship-scale runs get flagship performance with no
+    #               perf flags): "sweep" when the estimated scatter-pair
+    #               time (update positions x ~104 ns each) exceeds the
+    #               full-table stream time, else "scatter".  See
+    #               _resolve_table_update.
     #   "scatter" — touched-row XLA scatter pair; best when few rows are
     #               touched (small batch / capped vocab).
     #   "sweep"   — Pallas streaming-sweep on the packed [T/8,128] layout
@@ -104,7 +110,7 @@ class TrainOptions:
     #               batch 32768 the sweep is 5.3x faster (35 vs 186 ms).
     #               The train state holds the table packed; checkpoints are
     #               unpacked back to [vocab, 16] on save.
-    table_update: str = "scatter"
+    table_update: str = "auto"
     # Multi-chip SPMD: >0 builds a ("data", "model") mesh over all visible
     # devices with this model-axis size (data fills the rest).  Embedding
     # tables are row-sharded over `model`, the batch over `data`; the table
@@ -209,7 +215,12 @@ def _globalize_iterators(mesh, train_iter_fn, test_iter_fn, *,
     def glob(x):
         x = np.asarray(x)
         if slice_local:
-            assert x.shape[0] % pc == 0, (x.shape, pc)
+            if x.shape[0] % pc:
+                raise ValueError(
+                    f"replicated batch of {x.shape[0]} rows does not divide "
+                    f"across {pc} processes — use a batch size that is a "
+                    f"multiple of the process count"
+                )
             per = x.shape[0] // pc
             local = x[pid * per:(pid + 1) * per]
             gshape = x.shape
@@ -293,8 +304,60 @@ def _attention_impl(train: TrainOptions) -> str:
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
+# Measured constants behind the table-update auto policy (on-TPU v5e,
+# STATUS.md component table / experiments/probe_table_sweep.py,
+# probe_sweep_ktile.py):
+#   - XLA's TPU scatter costs ~104 ns PER UPDATE INDEX regardless of
+#     uniqueness, and the adagrad update issues a pair of scatters
+#     (table + accumulator);
+#   - the streaming-sweep kernel reads+writes table and accumulator once,
+#     at ~244 GB/s under the production schedule (35.4 ms for the
+#     33.8M-row x 16 f32 flagship table), plus a ~6 ms per-call floor
+#     (kernel launch + window DMA setup, flat across tile configs).
+_SCATTER_NS_PER_INDEX = 104.0
+_SWEEP_STREAM_BYTES_PER_S = 244e9
+_SWEEP_FIXED_OVERHEAD_S = 6e-3
+
+
+def _resolve_table_update(train: TrainOptions, batch: int, num_sparse: int,
+                          total_vocab_rows: int, emb_dim: int,
+                          backend: Optional[str] = None) -> str:
+    """Resolve table_update='auto' to 'sweep' or 'scatter' for this run.
+
+    'sweep' wins when the estimated XLA scatter-pair time for this batch's
+    update positions exceeds the full-table stream time; both estimates use
+    constants measured on this hardware class (see above).  At the two
+    canonical operating points: flagship fixed-subnet training
+    (batch 32768 x 26 slots, 33.8M rows) -> scatter ~177 ms vs sweep ~41 ms
+    -> sweep; search-scale fine-tune (batch 512 x 26, 0.5M-capped ~7.4M
+    rows) -> scatter ~2.8 ms vs sweep ~14 ms -> scatter.  Paths that cannot
+    run the sweep (dense-grad optimizer, host-offloaded table) and non-TPU
+    backends (the Pallas interpreter has no perf story) resolve to scatter.
+    Ref anchor for the no-flags UX: the reference's one-GPU default path
+    needs no performance flags (ref: main_train.py:275-287).
+    """
+    if train.table_update != "auto":
+        return train.table_update
+    if not _use_sparse_embedding(train) or train.place_embedding_on_cpu:
+        return "scatter"
+    if (backend or jax.default_backend()) != "tpu":
+        return "scatter"
+    scatter_s = 2.0 * batch * num_sparse * _SCATTER_NS_PER_INDEX * 1e-9
+    sweep_s = (4.0 * total_vocab_rows * emb_dim * 4
+               / _SWEEP_STREAM_BYTES_PER_S) + _SWEEP_FIXED_OVERHEAD_S
+    return "sweep" if sweep_s < scatter_s else "scatter"
+
+
 def _validate_train_options(train: TrainOptions) -> None:
     """Reject silently-conflicting option combinations up front."""
+    if train.ckpt_backend == "orbax" and jax.process_count() > 1:
+        raise ValueError(
+            "ckpt_backend='orbax' is not supported under multi-process runs: "
+            "the end-of-run writers run on process 0 only, and orbax's save "
+            "performs cross-process sync barriers that would deadlock with a "
+            "single caller — use ckpt_backend='pickle' (its per-host sharded "
+            "variant lives in nasrec_tpu/parallel)"
+        )
     if train.mesh_model > 0 and train.place_embedding_on_cpu:
         raise ValueError(
             "place_embedding_on_cpu and mesh_model are mutually exclusive: "
@@ -356,7 +419,16 @@ def _dump_logs(logging_dir: Optional[str], epoch_logs, options: Dict, ckpt_paylo
         from nasrec_tpu.train.checkpoint import save_checkpoint_any
 
         if ckpt_backend == "orbax":
-            ckpt_name = os.path.splitext(ckpt_name)[0] + ".orbax"
+            if jax.process_count() > 1:
+                # Defense in depth (validated up front in
+                # _validate_train_options): orbax save barriers would
+                # deadlock with a single-process caller — never lose a
+                # finished run to the checkpoint writer.
+                print("ckpt_backend='orbax' unusable under multi-process; "
+                      "falling back to pickle for this save")
+                ckpt_backend = "pickle"
+            else:
+                ckpt_name = os.path.splitext(ckpt_name)[0] + ".orbax"
         save_checkpoint_any(
             os.path.join(logging_dir, ckpt_name), ckpt_payload, ckpt_backend
         )
@@ -437,7 +509,7 @@ def train_fixed_subnet(
         train.lr_schedule, train.learning_rate, num_train_steps, num_warmup
     )
     opt = make_optimizer(train.optimizer)
-    if train.table_update not in ("scatter", "sweep"):
+    if train.table_update not in ("auto", "scatter", "sweep"):
         raise ValueError(f"unknown table_update {train.table_update!r}")
     if train.table_update == "sweep" and train.place_embedding_on_cpu:
         raise ValueError(
@@ -445,6 +517,10 @@ def train_fixed_subnet(
             "(not compatible with place_embedding_on_cpu)"
         )
     _validate_train_options(train)
+    table_update = _resolve_table_update(
+        train, data.train_batch_size, spec.num_sparse, int(sum(vocab)),
+        plan.emb_dim,
+    )
     packed_eval = False   # True when the state holds the sweep-packed table
     if train.mesh_model > 0:
         from nasrec_tpu.models.embedding import table_offsets
@@ -456,7 +532,7 @@ def train_fixed_subnet(
             make_sharded_stem_lookup,
         )
 
-        if train.table_update == "sweep":
+        if table_update == "sweep":
             if not _use_sparse_embedding(train):
                 raise ValueError(
                     "table_update='sweep' requires the sparse-embedding path "
@@ -476,7 +552,7 @@ def train_fixed_subnet(
                 opt, sched, mesh, table_offsets(vocab),
                 grad_clip=train.grad_clip,
                 l2_reg=train.wd, l2_exclude=train.no_reg_param_name,
-                table_update=train.table_update,
+                table_update=table_update,
                 microbatch=train.micro_batches,
             )
         else:
@@ -527,7 +603,7 @@ def train_fixed_subnet(
                 pack_state_for_sweep,
             )
 
-            if train.table_update == "sweep":
+            if table_update == "sweep":
                 state = pack_state_for_sweep(state)
                 packed_eval = True
             step = make_sparse_embedding_train_step(
@@ -536,10 +612,10 @@ def train_fixed_subnet(
                 grad_clip=train.grad_clip,
                 l2_reg=train.wd, l2_exclude=train.no_reg_param_name,
                 microbatch=train.micro_batches,
-                table_update=train.table_update,
+                table_update=table_update,
             )
         else:
-            if train.table_update != "scatter":
+            if table_update != "scatter":
                 raise ValueError(
                     "table_update='sweep' requires the sparse-embedding path "
                     "(adagrad, wd=0 or sparse_embedding=True)"
@@ -711,12 +787,14 @@ def train_supernet(
         train.lr_schedule, train.learning_rate, num_train_steps, num_warmup
     )
     opt = make_optimizer(train.optimizer)
-    if train.table_update != "scatter":
+    if train.table_update not in ("auto", "scatter"):
         # Explicit rather than silently ignored: the sweep's full-tile stream
         # only beats the touched-row scatter at large batches (>= ~10k
         # positions per tile); the canonical supernet batch is 512, where
-        # the scatter pair costs ~1.4 ms.  Use sweep on the fixed-subnet
-        # workloads (train_fixed_subnet / bench.py), not here.
+        # the scatter pair costs ~1.4 ms — 'auto' therefore resolves to
+        # scatter at every supported supernet scale (tables are always
+        # search-capped here).  Use sweep on the fixed-subnet workloads
+        # (train_fixed_subnet / bench.py), not here.
         raise ValueError(
             "train_supernet supports table_update='scatter' only "
             "(sweep targets large-batch fixed-subnet training)"
@@ -1063,6 +1141,11 @@ def search_from_supernet(
         SearchConfig(
             criterion=so.criterion, group_size=so.group_size, seed=so.seed,
             beta=so.beta, target_latency=so.target_latency,
+            # Multi-process launches fan candidate groups out across
+            # processes automatically (the TPU-native analogue of the
+            # reference's one-mp.Process-per-GPU searcher fan-out,
+            # ref: searcher.py:126-156).
+            distribute=jax.process_count() > 1,
         ),
         log_fn=log_fn,
     )
@@ -1079,7 +1162,7 @@ def search_from_supernet(
     else:
         raise NotImplementedError(f"method {so.method}")
 
-    if logging_dir:
+    if logging_dir and jax.process_index() == 0:
         os.makedirs(logging_dir, exist_ok=True)
         with open(os.path.join(logging_dir, "results.pickle"), "wb") as f:
             pickle.dump(results, f)

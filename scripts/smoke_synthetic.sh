@@ -19,4 +19,9 @@ python -u -m nasrec_tpu.cli.eval_subnet_from_scratch --config autoctr \
     --train_batch_size 256 --test_batch_size 512 \
     --max_train_steps 10 --max_eval_steps 2 --test_interval 10
 python -u -m nasrec_tpu.tools.sweep_device_check
+python -u -m nasrec_tpu.tools.body_device_check
+# Tiny-scale run of the FULL bench code path (donated sweep step, fresh_state
+# rebuilds, AMP/zipf/supernet variants, roofline) — a crashing bench.py can
+# never ship again (round-3: official BENCH json was rc=1, unguarded).
+python -u bench.py --smoke
 echo "smoke OK"

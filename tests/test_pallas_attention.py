@@ -161,3 +161,26 @@ def test_supernet_pallas_attention_matches_xla(rng):
                       jax.tree_util.tree_leaves(gb)):
         np.testing.assert_allclose(np.asarray(x_), np.asarray(y_),
                                    rtol=5e-3, atol=2e-4)
+
+
+def test_body_pick_tile_divisibility_fallback():
+    """_pick_tile(bwd=True) honours the documented multiples-of-128 contract:
+    B=640 at S=16 fits the 512 tile but must fall back to 128 (the largest
+    fitting tile that divides B) instead of raising (r3 advisor finding)."""
+    from nasrec_tpu.ops.kernels.transformer_body_pallas import _pick_tile
+
+    assert _pick_tile(640, 16, 16, bwd=True) == 128
+    assert _pick_tile(512, 16, 16, bwd=True) == 512
+    assert _pick_tile(256, 16, 16, bwd=True) == 256
+    # whole-batch tiles below 128 have no padding lanes and stay legal
+    assert _pick_tile(64, 16, 16, bwd=True) == 64
+    # batches under the largest fitting tile run as ONE whole-batch tile
+    # (no padding lanes), so any size is legal there
+    assert _pick_tile(200, 16, 16, bwd=True) == 200
+    # above it, batches that no fitting tile divides still raise
+    import pytest
+
+    with pytest.raises(ValueError):
+        _pick_tile(600, 16, 16, bwd=True)
+    # forward (eval) accepts any batch
+    assert _pick_tile(640, 16, 16, bwd=False) >= 128

@@ -380,3 +380,42 @@ def test_sweep_best_params_standard_layout(tmp_path):
         saved = pickle.load(f)
     # best table layout matches the checkpoint's standard layout exactly
     assert saved["params"]["embedding"]["table"].shape == (26000, 16)
+
+
+def test_table_update_auto_policy_extremes():
+    """The 'auto' resolver picks sweep at flagship scale and scatter at
+    search scale (VERDICT r3 item 6: flagship performance must be the
+    default, with the decision pinned at both extremes)."""
+    from nasrec_tpu.config import DATASETS, SEARCH_MAX_NUM_EMBEDDINGS
+    from nasrec_tpu.workloads import _resolve_table_update
+
+    auto = TrainOptions()          # default table_update is "auto"
+    assert auto.table_update == "auto"
+    spec = DATASETS["criteo-kaggle"]
+    full_rows = int(sum(spec.vocab_sizes(None)))
+    capped_rows = int(sum(spec.vocab_sizes(SEARCH_MAX_NUM_EMBEDDINGS)))
+
+    # Flagship: batch 32768, full 33.8M-row tables -> sweep.
+    assert _resolve_table_update(
+        auto, 32768, spec.num_sparse, full_rows, 16, backend="tpu"
+    ) == "sweep"
+    # Search fine-tune: batch 512, 0.5M-capped tables -> scatter.
+    assert _resolve_table_update(
+        auto, 512, spec.num_sparse, capped_rows, 16, backend="tpu"
+    ) == "scatter"
+    # Off-TPU backends always resolve to scatter (no interpreter perf story).
+    assert _resolve_table_update(
+        auto, 32768, spec.num_sparse, full_rows, 16, backend="cpu"
+    ) == "scatter"
+    # Paths that cannot run the sweep resolve to scatter even at flagship.
+    import dataclasses
+    dense = dataclasses.replace(auto, wd=1e-4)        # dense-grad L2 path
+    assert _resolve_table_update(
+        dense, 32768, spec.num_sparse, full_rows, 16, backend="tpu"
+    ) == "scatter"
+    # Explicit choices pass through untouched.
+    for explicit in ("scatter", "sweep"):
+        t = dataclasses.replace(auto, table_update=explicit)
+        assert _resolve_table_update(
+            t, 512, spec.num_sparse, capped_rows, 16, backend="tpu"
+        ) == explicit
