@@ -86,6 +86,10 @@ def data_opts(**kw):
     return DataOptions(
         dataset="criteo-kaggle", data_source="synthetic",
         synthetic_train_examples=1_000_000, synthetic_test_examples=200_000,
+        # Tables must cover SPEC.vocab: fused-table offsets are cumulative,
+        # so indices beyond the per-slot table size would silently land in
+        # the NEXT slot's rows (caught in round 4 before the first v5 run).
+        synthetic_vocab=SPEC.vocab,
         **kw,
     )
 

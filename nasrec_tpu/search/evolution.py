@@ -34,6 +34,16 @@ class SearchConfig:
     target_latency: float = -1.0
     group_size: int = 8          # candidates per vmapped evaluation
     seed: Optional[int] = None
+    # Cross-process fan-out (the scale-out half of SURVEY §2.9's search
+    # parallelism; ref: nasrec/searcher/searcher.py:126-156 spawns one
+    # mp.Process per candidate, one GPU each): when True and
+    # jax.process_count() > 1, each generation's candidate GROUPS are
+    # round-robined across processes, each process evaluates only its own
+    # groups on its local devices, and the numeric results are exchanged
+    # with one process_allgather — after which every process holds the
+    # identical result list and the (seeded, deterministic) search loop
+    # stays in lockstep with a single-process run.
+    distribute: bool = False
 
 
 class Searcher:
@@ -77,11 +87,62 @@ class Searcher:
     # -- evaluation in groups -------------------------------------------------
 
     def _evaluate(self, choices: Sequence[Choice]) -> List[Dict]:
-        out: List[Dict] = []
         gs = max(1, self.config.group_size)
-        for i in range(0, len(choices), gs):
-            out.extend(self.eval_fn(list(choices[i : i + gs])))
+        groups = [list(choices[i : i + gs]) for i in range(0, len(choices), gs)]
+        if self.config.distribute:
+            import jax
+
+            if jax.process_count() > 1:
+                return self._evaluate_distributed(groups, choices)
+        out: List[Dict] = []
+        for g in groups:
+            out.extend(self.eval_fn(g))
         return out
+
+    # Numeric fields exchanged across processes; every other result key
+    # (the choice itself, hashes) is recomputed identically on all
+    # processes from the shared seeded RNG.
+    _EXCHANGE_FIELDS = ("test_loss", "test_acc", "test_auroc", "latency")
+
+    def _evaluate_distributed(
+        self, groups: List[List[Choice]], choices: Sequence[Choice]
+    ) -> List[Dict]:
+        """Fan candidate groups out across jax processes (see SearchConfig.
+        distribute).  Group g goes to process g % process_count; the float
+        metrics come back via one process_allgather (disjoint rows summed,
+        missing fields ride as NaN), so all processes return bit-identical
+        results in the single-process order."""
+        import jax
+        from jax.experimental import multihost_utils
+
+        pid, pc = jax.process_index(), jax.process_count()
+        n, nf = len(choices), len(self._EXCHANGE_FIELDS)
+        # [n, nf] metrics + a fill-count column (validates disjoint coverage)
+        mat = np.zeros((n, nf + 1), np.float64)
+        row0 = np.cumsum([0] + [len(g) for g in groups])
+        for gi, g in enumerate(groups):
+            if gi % pc != pid:
+                continue
+            for j, r in enumerate(self.eval_fn(g)):
+                row = row0[gi] + j
+                mat[row, :nf] = [r.get(f, np.nan) for f in self._EXCHANGE_FIELDS]
+                mat[row, nf] = 1.0
+        gathered = np.asarray(multihost_utils.process_allgather(mat))
+        total = gathered.sum(axis=0)
+        if not (total[:, nf] == 1.0).all():
+            raise RuntimeError(
+                "distributed evaluation left candidate rows unfilled or "
+                f"double-filled: fill counts {total[:, nf]}"
+            )
+        results: List[Dict] = []
+        for i, choice in enumerate(choices):
+            r: Dict = {"choice": choice}
+            for k, f in enumerate(self._EXCHANGE_FIELDS):
+                v = total[i, k]
+                if not np.isnan(v):
+                    r[f] = float(v)
+            results.append(r)
+        return results
 
     # -- algorithms ----------------------------------------------------------
 

@@ -62,6 +62,11 @@ class DataOptions:
     vocab_cap: Optional[int] = None   # SEARCH_MAX_NUM_EMBEDDINGS during search
     synthetic_train_examples: int = 65536
     synthetic_test_examples: int = 8192
+    # Per-slot table size for synthetic data.  Must cover the index range of
+    # the synthetic stream: fused-table offsets are cumulative, so an
+    # out-of-range per-slot index lands in the NEXT slot's rows (silent
+    # cross-slot corruption, not a clamp).
+    synthetic_vocab: int = 1000
     # Multi-host: this process reads shards where shard_idx %% num_hosts == host_id.
     host_id: int = 0
     num_hosts: int = 1
@@ -248,7 +253,7 @@ def _fetch_params_np(params):
 def _spec_and_vocab(data: DataOptions):
     spec = DATASETS[data.dataset]
     if data.data_source == "synthetic":
-        return spec, tuple([1000] * spec.num_sparse)
+        return spec, tuple([data.synthetic_vocab] * spec.num_sparse)
     return spec, spec.vocab_sizes(data.vocab_cap)
 
 
@@ -256,7 +261,8 @@ def _make_iterators(data: DataOptions):
     if data.data_source == "synthetic":
         spec = DATASETS[data.dataset]
         sspec = SyntheticSpec(
-            num_dense=spec.num_dense, num_sparse=spec.num_sparse, vocab=1000
+            num_dense=spec.num_dense, num_sparse=spec.num_sparse,
+            vocab=data.synthetic_vocab,
         )
 
         def train_iter():
@@ -301,6 +307,17 @@ def _compute_dtype(train: TrainOptions):
 def _attention_impl(train: TrainOptions) -> str:
     if train.attention_impl != "auto":
         return train.attention_impl
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def _search_attention_impl(so) -> str:
+    """SearchOptions variant of _attention_impl (the vmapped evaluators).
+
+    Measured at the canonical search scale (experiments/probe_vmap_body.py):
+    the fused Pallas body under vmap cuts the final-only group-8 fine-tune
+    from 2.43 to 1.03 s/candidate (2.37x), loss drift 7e-5."""
+    if so.attention_impl != "auto":
+        return so.attention_impl
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
@@ -1019,6 +1036,13 @@ class SearchOptions:
     # vmapped as a group unless batch_finetune=False (ref --finetune_whole_supernet).
     finetune_mode: str = "final-only"
     batch_finetune: bool = True
+    # Transformer-node impl inside the (vmapped) candidate evaluators:
+    # "auto" = fused Pallas body on TPU, XLA elsewhere.  Measured at the
+    # canonical search scale (group 8, 200 ft steps bs 512 + 20x1024 eval,
+    # capped tables): 2.43 -> 1.03 s/candidate, 2.37x
+    # (experiments/probe_vmap_body.py, round 4 — the round-3 "keep XLA for
+    # the vmapped evaluators" comment was unmeasured and wrong).
+    attention_impl: str = "auto"
     # Latency-aware search (criterion="test_loss_penalty_lat"):
     # objective = test_loss + beta * (latency / target_latency - 1)
     # (TuNAS-style relaxation, ref: searcher.py:65-73)
@@ -1046,6 +1070,7 @@ def evaluate_choices_from_supernet(
         space=space, num_blocks=so.num_blocks, num_dense=spec.num_dense,
         num_sparse=spec.num_sparse, vocab_sizes=vocab,
         use_layernorm=so.use_layernorm,
+        attention_impl=_search_attention_impl(so),
     )
     if so.ckpt_path:
         from nasrec_tpu.train.checkpoint import load_any_checkpoint
@@ -1087,6 +1112,7 @@ def search_from_supernet(
         space=space, num_blocks=so.num_blocks, num_dense=spec.num_dense,
         num_sparse=spec.num_sparse, vocab_sizes=vocab,
         use_layernorm=so.use_layernorm,
+        attention_impl=_search_attention_impl(so),
     )
     if so.ckpt_path:
         from nasrec_tpu.train.checkpoint import load_any_checkpoint
