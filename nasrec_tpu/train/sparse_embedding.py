@@ -61,23 +61,19 @@ def _slotwise_sort(idx2d: jnp.ndarray, g: jnp.ndarray):
     idx2d: [B, S] where column s holds indices in [offsets[s], offsets[s+1])
     — DISJOINT ranges, ascending with s (the fused-table layout guarantee).
     Column-sorting and concatenating columns therefore yields a globally
-    non-decreasing stream via one batched [B, S] argsort.
+    non-decreasing stream via one batched [B, S] sort.
 
-    This is the PRODUCTION prep: 9.96 ms vs 18.67 ms for the flat [B*S]
-    argsort at the flagship shape (experiments/probe_prep_breakdown.py,
-    round 3).  Round 2 measured slotwise SLOWER — but that comparison
-    included the since-removed [N, 128] lane-expansion; with the 16-lane
-    contract the batched [B, S] sort (0.9 ms vs 1.3 ms) and its cheaper
-    permute-gather win decisively.  The sort itself is cheap either way;
-    the cost is the lane-padded [N, 16] gathers (16 -> 128 lane padding,
-    8x physical traffic).
+    The sorted values and the permutation come from ONE lax.sort over
+    (values, iota) — jnp.argsort followed by take_along_axis re-gathers the
+    values element-by-element, which is latency-bound on TPU (~8 ms for
+    852k elements at the flagship shape, probe_prep_and_body_r4.py r4).
 
     g: [B*S, E] in (b, s) row-major order (the stem-grad flatten).
     Returns (rows_sorted [B*S], g_sorted [B*S, E])."""
     b, s = idx2d.shape
-    order_b = jnp.argsort(idx2d, axis=0)                     # [B, S]
-    rows = jnp.take_along_axis(idx2d, order_b, axis=0)
-    rows = rows.T.reshape(-1)                                # slot-major
+    iota = jax.lax.broadcasted_iota(jnp.int32, (b, s), 0)
+    rows_bs, order_b = jax.lax.sort((idx2d, iota), dimension=0, num_keys=1)
+    rows = rows_bs.T.reshape(-1)                             # slot-major
     perm = (order_b * s
             + jnp.arange(s, dtype=order_b.dtype)[None, :]).T.reshape(-1)
     return rows, jnp.take(g, perm, axis=0)
@@ -85,10 +81,56 @@ def _slotwise_sort(idx2d: jnp.ndarray, g: jnp.ndarray):
 
 def rowwise_segment_sum_slotwise(idx2d: jnp.ndarray, g: jnp.ndarray):
     """rowwise_segment_sum on slot-partitioned [B, S] indices (see
-    _slotwise_sort for the contract)."""
-    r, gs = _slotwise_sort(idx2d, g)
-    seg, is_end = _segment_last_sum(r, gs)
-    return r, seg, is_end
+    _slotwise_sort for the contract).
+
+    COLUMN-MAJOR COMPACT pipeline (round 4; 19.1 -> ~9 ms at the flagship
+    shape, probe_prep_and_body_r4.py): the old path flattened to [B*S, 16]
+    first, putting every per-position op on 16-lane rows that TPU pads to
+    128 lanes (8x traffic) and paying an element-gather for the sorted
+    rows.  Here everything runs in the [B, S, E] / [B, S*E] layout — full
+    128-lane utilisation — and only the two OUTPUT transposes touch the
+    slot-major flat order the sweep/scatter contract wants:
+
+      1. one lax.sort over (idx2d, iota): sorted rows + permutation;
+      2. one take_along_axis row gather of g;
+      3. cumsum over compact [B, S*E] lanes; each segment's base (the
+         cumsum just before its start) comes from a cummax of start
+         positions + one [B, S]-indexed row gather of the cumsum.
+
+    Per-column cumsums also accumulate less rounding than the old global
+    cumsum over the concatenated columns (segments never span columns, so
+    the telescoped differences are over the same additions either way).
+    """
+    b, s = idx2d.shape
+    e = g.shape[-1]
+    g3 = g.reshape(b, s, e)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (b, s), 0)
+    rows_bs, order_b = jax.lax.sort((idx2d, iota), dimension=0, num_keys=1)
+    g_sorted = jnp.take_along_axis(g3, order_b[:, :, None], axis=0)
+
+    cs = jnp.cumsum(g_sorted.reshape(b, s * e), axis=0)        # [B, S*E]
+    cs3 = cs.reshape(b, s, e)
+    is_end = jnp.concatenate(
+        [rows_bs[1:] != rows_bs[:-1], jnp.ones((1, s), bool)], axis=0
+    )                                                          # [B, S]
+    is_start = jnp.concatenate(
+        [jnp.ones((1, s), bool), rows_bs[1:] != rows_bs[:-1]], axis=0
+    )
+    # Index of each position's segment start (per column): forward-carried
+    # maximum of start positions.
+    start_idx = jax.lax.cummax(
+        jnp.where(is_start, iota, 0), axis=0
+    )                                                          # [B, S]
+    # base = cumsum one row above the segment start (zero for row-0 starts).
+    base = jnp.take_along_axis(
+        cs3, jnp.maximum(start_idx - 1, 0)[:, :, None], axis=0
+    )
+    base = jnp.where((start_idx > 0)[:, :, None], base, 0.0)
+    seg_col = jnp.where(is_end[:, :, None], cs3 - base, 0.0)   # [B, S, E]
+
+    rows = rows_bs.T.reshape(-1)
+    seg = seg_col.transpose(1, 0, 2).reshape(b * s, e)
+    return rows, seg, is_end.T.reshape(-1)
 
 
 def rowwise_segment_sum(rows: jnp.ndarray, g: jnp.ndarray):

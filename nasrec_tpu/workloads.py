@@ -451,9 +451,15 @@ def _dump_logs(logging_dir: Optional[str], epoch_logs, options: Dict, ckpt_paylo
         )
 
 
-def _report_model_stats(apply_fn, params, data: DataOptions, spec, log_fn):
+def _report_model_stats(apply_fn, params, data: DataOptions, spec, log_fn,
+                        logging_dir: Optional[str] = None):
     """Params + per-example forward FLOPs (fvcore parity, but from XLA's own
-    cost analysis which includes batched matmuls, ref: train_utils.py:436-452)."""
+    cost analysis which includes batched matmuls, ref: train_utils.py:436-452).
+
+    With a logging_dir, also dumps the model graph: the forward's StableHLO
+    text and jaxpr to `model_graph/` — the TPU-native stand-in for the
+    reference's TensorBoard graph dump (ref: main_train.py:129-140,
+    modules.py:39-54 FLAGS.DEBUG)."""
     from nasrec_tpu.profiling import count_flops, count_params
 
     dense = jnp.zeros((1, spec.num_dense), jnp.float32)
@@ -466,6 +472,21 @@ def _report_model_stats(apply_fn, params, data: DataOptions, spec, log_fn):
         )
     except Exception as e:  # cost analysis may be unavailable on some backends
         log_fn(f"FLOPs analysis unavailable: {e}")
+    if logging_dir and (jax.process_count() == 1 or jax.process_index() == 0):
+        try:
+            gdir = os.path.join(logging_dir, "model_graph")
+            os.makedirs(gdir, exist_ok=True)
+            lowered = jax.jit(lambda p, d, c: apply_fn(p, d, c)).lower(
+                params, dense, cat
+            )
+            with open(os.path.join(gdir, "forward.stablehlo.txt"), "w") as f:
+                f.write(lowered.as_text())
+            with open(os.path.join(gdir, "forward.jaxpr.txt"), "w") as f:
+                f.write(str(jax.make_jaxpr(
+                    lambda p, d, c: apply_fn(p, d, c))(params, dense, cat)))
+            log_fn(f"model graph dumped to {gdir}")
+        except Exception as e:  # a graph dump must never kill a run
+            log_fn(f"model graph dump unavailable: {e}")
 
 
 class _MaybeProfile:
@@ -671,7 +692,8 @@ def train_fixed_subnet(
 
     if train.report_flops:
         _report_model_stats(
-            lambda p, d, c: fixed_apply(plan, p, d, c), params, data, spec, log_fn
+            lambda p, d, c: fixed_apply(plan, p, d, c), params, data, spec,
+            log_fn, logging_dir=train.logging_dir,
         )
 
     from nasrec_tpu.train.logging import MetricsWriter

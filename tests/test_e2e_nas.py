@@ -35,11 +35,14 @@ def test_full_nas_pipeline(tmp_path):
         anypath_choice="binomial-0.5", supernet_training_steps=40,
         eval_path="full-path",
     )
+    # 450 steps: at 300 the full-path AUC sits right on the 0.6 line and
+    # f32 summation-order changes (e.g. the r4 per-column prep cumsum)
+    # flip it across; the margin, not the threshold, was the problem.
     sn_out = train_supernet(
         sn, data,
         TrainOptions(
-            learning_rate=0.05, max_train_steps=300, max_eval_steps=8,
-            test_interval=300, display_interval=100,
+            learning_rate=0.05, max_train_steps=450, max_eval_steps=8,
+            test_interval=450, display_interval=100,
             logging_dir=str(tmp_path),
         ),
         log_fn=lambda s: None,

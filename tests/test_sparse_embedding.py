@@ -38,16 +38,23 @@ def test_slotwise_segment_sum_matches_global(rng):
         r_s, seg_s, is_end_s = slot(idx2d, g)
         np.testing.assert_array_equal(np.asarray(r_s), np.asarray(r_g))
 
-        # same aggregation: scatter both to dense and compare (sort order
-        # among duplicates may differ, per-row sums must not)
-        def densify(r_, seg_):
-            dense = np.zeros((int(np.asarray(r_g).max()) + 1, seg_.shape[1]),
-                             np.float32)
-            np.add.at(dense, np.asarray(r_), np.asarray(seg_))
+        # same aggregation: scatter both to dense and compare against the
+        # EXACT float64 per-row sums.  The two implementations round
+        # differently by design — the global path telescopes a cumsum over
+        # the whole concatenated stream, the slotwise path a per-column
+        # cumsum (smaller accumulators, tighter rounding) — so they are
+        # compared to the truth, not to each other.
+        def densify(r_, seg_, dtype=np.float32):
+            dense = np.zeros((int(np.asarray(r_g).max()) + 1, g.shape[1]),
+                             dtype)
+            np.add.at(dense, np.asarray(r_), np.asarray(seg_, dtype))
             return dense
 
-        np.testing.assert_allclose(densify(r_s, seg_s), densify(r_g, seg_g),
-                                   rtol=1e-5, atol=1e-6)
+        exact = densify(idx2d.reshape(-1), g, np.float64).astype(np.float32)
+        np.testing.assert_allclose(densify(r_s, seg_s), exact,
+                                   rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(densify(r_g, seg_g), exact,
+                                   rtol=1e-3, atol=1e-5)
         assert np.asarray(is_end_s).sum() == len(np.unique(cat + offsets[None, :]))
 
 

@@ -419,3 +419,19 @@ def test_table_update_auto_policy_extremes():
         assert _resolve_table_update(
             t, 512, spec.num_sparse, capped_rows, 16, backend="tpu"
         ) == explicit
+
+
+def test_report_flops_dumps_model_graph(tmp_path):
+    """--report_flops with a logging_dir writes the forward's StableHLO and
+    jaxpr (the TPU-native stand-in for the reference's TensorBoard graph
+    dump, ref: main_train.py:129-140)."""
+    import dataclasses
+
+    choice = get_best_arch("criteo-kaggle", "autoctr")
+    payload = {**choice, "config": "autoctr", "num_blocks": 7}
+    tr = dataclasses.replace(_train(tmp_path, steps=3), report_flops=True)
+    train_fixed_subnet(payload, _data(), tr, log_fn=lambda s: None)
+    hlo = tmp_path / "model_graph" / "forward.stablehlo.txt"
+    jaxpr = tmp_path / "model_graph" / "forward.jaxpr.txt"
+    assert hlo.exists() and hlo.stat().st_size > 1000
+    assert jaxpr.exists() and jaxpr.stat().st_size > 1000
