@@ -319,7 +319,8 @@ def _make_block_fn(plan: FixedPlan, i: int, bp: BlockPlan):
             elif name == "dot-product":
                 dense_outs.append(
                     dot_product_apply_flat(
-                        np_, dense_in, sparse_in, bp.sparse_in, e, None
+                        np_, dense_in, sparse_in, bp.sparse_in, e, None,
+                        impl=plan.attention_impl,
                     )
                 )
             elif name == "transformer":

@@ -213,7 +213,8 @@ def _block_apply(
             o = sigmoid_gating_apply(np_, left_in, right_in, ddim)
             dense_outs.append(o * gate)
         elif name == "dot-product":
-            o = dot_product_apply_flat(np_, dense_in, sparse_in, s_in, e, ddim)
+            o = dot_product_apply_flat(np_, dense_in, sparse_in, s_in, e, ddim,
+                                       impl=cfg.attention_impl)
             dense_outs.append(o * gate)
         elif name == "transformer":
             tf = functools.partial(transformer_apply_flat, impl=cfg.attention_impl)

@@ -130,11 +130,20 @@ def dot_product_apply_flat(
     in_slots: int,
     emb_dim: int,
     dim_mask: Optional[jnp.ndarray] = None,
+    impl: str = "xla",
 ) -> jnp.ndarray:
     """Flat-layout DotProduct — same math as `dot_product_apply` but the
     sparse operand goes straight to E-major [B, E, S]: the slot projection
     contracts lanes, the pairwise scores contract the E sublane axis, and no
-    [B, S, E] tensor (E=16 pads 8x on lanes) is ever materialised."""
+    [B, S, E] tensor (E=16 pads 8x on lanes) is ever materialised.
+
+    impl='pallas': the pairwise scores + triangle flatten run as one
+    batch-on-lanes Pallas kernel (ops/kernels/dotprod_pallas.py) and the
+    out-projection contracts in b-major — XLA's batched tiny GEMMs for this
+    shape are MXU-issue-bound and its [B, n, n] score tensor pads n<=46 to
+    128 lanes in HBM both ways."""
+    import jax
+
     x = dense
     if "dense_proj" in p:
         x = linear_apply(p["dense_proj"], x)
@@ -150,6 +159,24 @@ def dot_product_apply_flat(
         yt = linear_apply(p["slot_proj"], yt)         # [B, E, slot_dim]
         if "slot_ln" in p:
             yt = ln_apply(p["slot_ln"], yt)
+    if impl == "pallas":
+        from nasrec_tpu.ops.kernels.dotprod_pallas import dot_scores_tril_bmajor
+
+        tb = jnp.concatenate([x[:, :, None], yt], axis=2)   # [B, E, n]
+        t = jnp.transpose(tb, (1, 2, 0))                    # [E, n, B]
+        z = dot_scores_tril_bmajor(
+            t, jax.default_backend() != "tpu"
+        )                                                   # [P, B]
+        if "out_proj" in p:
+            q = p["out_proj"]
+            out = jnp.einsum("pb,po->bo", z, q["w"].astype(z.dtype))
+            if "b" in q:
+                out = out + q["b"].astype(z.dtype)
+        else:
+            out = z.T
+        if "out_ln" in p:
+            out = ln_apply(p["out_ln"], out)
+        return apply_mask(out, dim_mask)
     t = jnp.concatenate([x[:, :, None], yt], axis=2)  # [B, E, n]
     z = jnp.einsum("ben,bem->bnm", t, t)              # pairwise dots
     return _dot_product_tail(p, z, dim_mask)

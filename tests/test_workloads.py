@@ -435,3 +435,21 @@ def test_report_flops_dumps_model_graph(tmp_path):
     jaxpr = tmp_path / "model_graph" / "forward.jaxpr.txt"
     assert hlo.exists() and hlo.stat().st_size > 1000
     assert jaxpr.exists() and jaxpr.stat().st_size > 1000
+
+
+def test_orbax_rejected_under_multiprocess(monkeypatch):
+    """ckpt_backend='orbax' must fail fast under multi-process runs: the
+    end-of-run writers run on process 0 only and orbax's save barriers would
+    deadlock a single caller (r3 advisor finding).  Simulated by patching
+    jax.process_count — the validation reads it directly."""
+    import dataclasses
+
+    import jax
+
+    from nasrec_tpu.workloads import _validate_train_options
+
+    t = dataclasses.replace(_train(steps=2), ckpt_backend="orbax")
+    _validate_train_options(t)  # fine single-process
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="orbax"):
+        _validate_train_options(t)
