@@ -188,9 +188,16 @@ def _build_schedule(starts: jnp.ndarray, n_tiles: int, n: int, unit: int):
     starts: [n_tiles + 1] int32 segment boundaries (searchsorted of tile
     vocab-row boundaries in the sorted update positions).  Returns int32
     [BUDGET] tables (tile_id, win_block, is_first, is_last, span_s, span_e)
-    with BUDGET = ceil(n/unit) + 2*n_tiles + 1 — an upper bound on the
-    windows any distribution needs, since a touched tile t uses
-    ceil((e_t - align(s_t))/unit) <= seg_t/unit + 2 steps.
+    with BUDGET = ceil(n/unit) + n_tiles + 1 — a TIGHT upper bound on the
+    windows any distribution needs: tile t uses
+    ceil(e_t/unit) - floor(s_t/unit), and because touched segments are
+    consecutive (s_{t+1} >= e_t) the floor/ceil terms telescope:
+    sum_t steps_t <= ceil(n/unit) + #touched_tiles.  (Surplus steps cost
+    ~1 us each in pure grid sequencing even with their DMAs skipped —
+    measured, experiments/probe_sweep_diag.py — so the previous 2*n_tiles
+    budget wasted ~4 ms at flagship scale, where ~4100 of its 9921 steps
+    were surplus.  Property-checked over adversarial distributions:
+    tests/test_sweep_kernel.py::test_schedule_budget_tight.)
 
     UNTOUCHED tiles get ZERO steps: the grid never visits their blocks, so
     no DMA is issued for them, and because the table/acc outputs alias their
@@ -203,7 +210,7 @@ def _build_schedule(starts: jnp.ndarray, n_tiles: int, n: int, unit: int):
     span guard skips their compute entirely.
     """
     cw = unit
-    budget = -(-n // cw) + 2 * n_tiles + 1
+    budget = -(-n // cw) + n_tiles + 1
     s, e = starts[:-1], starts[1:]
     aligned = (s // cw) * cw
     n_win = jnp.where(e > s, -(-(e - aligned) // cw), 0)     # [n_tiles]
