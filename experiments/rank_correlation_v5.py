@@ -147,13 +147,27 @@ def main():
             ARCHS.append(c)
 
     # ---- 1. from-scratch target + its self-reliability -------------------
+    # Each (seed, arch) cell persists to OUT_DIR as it lands so an
+    # interrupted run (tunnel wedge, timeout) resumes instead of redoing
+    # ~2x24x4000 training steps.
     scratch = {}
     for seed in (0, 101):
+        cell_path = os.path.join(OUT_DIR, f"scratch_seed{seed}.json")
+        done = []
+        if os.path.exists(cell_path):
+            with open(cell_path) as f:
+                done = json.load(f)
+            print(f"SCRATCH seed{seed}: resuming at {len(done)}/{N_ARCHS}",
+                  flush=True)
         patched_iterators(train_seed=seed + 50)   # distinct data AND init
         t0 = time.time()
-        losses = []
+        losses = list(done)
         for i, c in enumerate(ARCHS):
+            if i < len(done):
+                continue
             losses.append(scratch_loss_of(c, seed))
+            with open(cell_path, "w") as f:
+                json.dump(losses, f)
             print(f"SCRATCH seed{seed} {i+1}/{N_ARCHS}: {losses[-1]:.5f}",
                   flush=True)
         scratch[seed] = losses

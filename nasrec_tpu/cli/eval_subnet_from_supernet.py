@@ -67,6 +67,14 @@ def build_parser():
     p.add_argument("--latency_trials", type=int, default=50,
                    help="forward-latency trials per candidate "
                         "(ref: searcher_utils.py:77-103)")
+    p.add_argument("--latency_estimator", default="cost-model",
+                   choices=["cost-model", "measured"],
+                   help="'cost-model' (default): compile-free analytic "
+                        "estimate — O(1) compilations for the whole search. "
+                        "'measured': jit + time each DISTINCT plan; WARNING "
+                        "on this runtime a first compile is 30-250 s, so a "
+                        "long EA with beta>0 can spend days compiling — use "
+                        "for final top-k verification only")
     p.add_argument("--finetune_whole_supernet", type=int, default=0,
                    help="1: fine-tune all params per candidate (sequential)")
     p.add_argument("--attention_impl", default="auto",
@@ -93,6 +101,7 @@ def main(argv=None):
         beta=args.beta, target_latency=args.target_latency,
         latency_batch_size=args.latency_batch_size,
         latency_trials=args.latency_trials,
+        latency_estimator=args.latency_estimator,
         finetune_mode="whole" if args.finetune_whole_supernet == 1 else "final-only",
         attention_impl=args.attention_impl,
     )

@@ -23,7 +23,8 @@ The sweep — a WINDOW-LINEARIZED grid:
     prefetched schedule (built by cheap XLA ops in `_build_schedule`) maps
     grid step g -> (tile, window block, is_first, is_last, span), giving
     every tile ceil(segment/CW) consecutive steps.  Total steps are
-    <= n/CW + 2*n_tiles for ANY index distribution — a static budget — so
+    <= ceil(n/unit) + n_tiles + 1 for ANY index distribution (unit = CW*WF;
+    see _build_schedule for the telescoping bound) — a static budget — so
     unlike a fixed windows-per-tile scheme there is NO overflow path:
     CTR-skewed traffic (small tables concentrate ~100k positions in one
     tile) just gives that tile more steps.
@@ -197,7 +198,7 @@ def _build_schedule(starts: jnp.ndarray, n_tiles: int, n: int, unit: int):
     measured, experiments/probe_sweep_diag.py — so the previous 2*n_tiles
     budget wasted ~4 ms at flagship scale, where ~4100 of its 9921 steps
     were surplus.  Property-checked over adversarial distributions:
-    tests/test_sweep_kernel.py::test_schedule_budget_tight.)
+    tests/test_table_sweep.py::test_schedule_budget_tight.)
 
     UNTOUCHED tiles get ZERO steps: the grid never visits their blocks, so
     no DMA is issued for them, and because the table/acc outputs alias their

@@ -80,6 +80,58 @@ def _dot_flops_of_jaxpr(jaxpr) -> int:
     return total
 
 
+def _tensor_bytes_of_jaxpr(jaxpr) -> int:
+    total = 0
+    for v in jaxpr.invars:
+        aval = v.aval
+        if hasattr(aval, "shape"):
+            total += int(np.prod(aval.shape, dtype=np.int64)) * aval.dtype.itemsize
+    for eqn in jaxpr.eqns:
+        for v in eqn.outvars:
+            aval = v.aval
+            if hasattr(aval, "shape") and hasattr(aval, "dtype"):
+                total += (
+                    int(np.prod(aval.shape, dtype=np.int64)) * aval.dtype.itemsize
+                )
+        for sub in eqn.params.values():
+            if hasattr(sub, "jaxpr"):
+                total += _tensor_bytes_of_jaxpr(sub.jaxpr)
+            elif hasattr(sub, "eqns"):
+                total += _tensor_bytes_of_jaxpr(sub)
+    return total
+
+
+def tensor_bytes(fn: Callable, *args) -> int:
+    """Bytes of every tensor the traced fn touches: inputs once + each
+    intermediate once (jaxpr outvars, recursing into pjit sub-jaxprs).
+    Over-counts XLA-fused elementwise chains and under-counts re-reads, so
+    it is a candidate-RANKING proxy, not a bandwidth measurement."""
+    jaxpr = jax.make_jaxpr(fn)(*args)
+    return _tensor_bytes_of_jaxpr(jaxpr.jaxpr)
+
+
+def estimate_latency_cost_model(fn: Callable, args: Tuple, calib: dict) -> float:
+    """Compile-free analytic forward-latency estimate in seconds:
+
+        dot_flops / measured_matmul_peak + tensor_bytes / measured_copy_bw
+
+    Both terms come from ONE trace (jax.make_jaxpr — no XLA compile), so
+    scoring N search candidates costs zero compilations; `calib` is a
+    one-time calibrate_chip() result.  The estimate is an arithmetic +
+    bandwidth LOWER BOUND that is CONSISTENT across candidates — exactly
+    what the TuNAS-style penalty (latency/target - 1) needs for ranking
+    (ref: nasrec/searcher/searcher.py:65-73, searcher_utils.py:77-103 —
+    the reference measures wall latency per candidate, affordable on its
+    runtime; on this runtime each distinct subnet's first compile is
+    30-250 s, which a 240-generation EA cannot pay per candidate)."""
+    flops = dot_flops(fn, *args)
+    nbytes = tensor_bytes(fn, *args)
+    return (
+        flops / calib["matmul_flops_per_s"]
+        + nbytes / calib["copy_bytes_per_s"]
+    )
+
+
 def calibrate_chip(matmul_dim: int = 4096, copy_mb: int = 512,
                    trials: int = 20) -> dict:
     """Measured achievable peaks of THIS chip: dense bf16 matmul FLOP/s and

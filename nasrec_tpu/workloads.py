@@ -1072,6 +1072,14 @@ class SearchOptions:
     target_latency: float = -1.0
     latency_batch_size: int = 512
     latency_trials: int = 50
+    # How candidate latency is obtained.  "cost-model" (default): compile-
+    # free analytic estimate from one trace (dot-FLOPs / measured matmul
+    # peak + tensor bytes / measured copy bandwidth; one calibrate_chip()
+    # per process) — O(1) compilations for the whole search.  "measured":
+    # jit + wall-clock each DISTINCT plan (cached by plan signature) — on
+    # this runtime a first compile is 30-250 s, so use it only for final
+    # top-k verification, not inside a 240-generation EA.
+    latency_estimator: str = "cost-model"
 
 
 def evaluate_choices_from_supernet(
@@ -1156,23 +1164,49 @@ def search_from_supernet(
     )
 
     need_latency = so.criterion == "test_loss_penalty_lat" and so.beta != 0.0
+    if so.latency_estimator not in ("cost-model", "measured"):
+        raise ValueError(f"unknown latency_estimator {so.latency_estimator!r}")
+
+    # Latency per candidate, cached by plan signature (FixedPlan is a frozen
+    # dataclass of ints/tuples): EA populations revisit structurally
+    # identical plans, and in "measured" mode every cache miss is a fresh
+    # XLA compile (30-250 s first-compile on this runtime) — the cache makes
+    # a search of N candidates compile O(distinct plans), and "cost-model"
+    # (default) compiles nothing at all (ref: searcher_utils.py:77-103).
+    _latency_cache: Dict = {}
+    _calib: Dict = {}
 
     def _measure_choice_latency(choice) -> float:
-        """Standalone fixed-subnet forward latency (ref: searcher_utils.py:77-103)."""
-        from nasrec_tpu.profiling import measure_latency
+        from nasrec_tpu import profiling
 
         plan = build_fixed_plan(
             choice, space, so.num_blocks, spec.num_dense, spec.num_sparse, vocab,
             use_layernorm=so.use_layernorm,
         )
+        if plan in _latency_cache:
+            return _latency_cache[plan]
         params = fixed_init(jax.random.PRNGKey(0), plan)
         dense = jnp.zeros((so.latency_batch_size, spec.num_dense), jnp.float32)
         cat = jnp.zeros((so.latency_batch_size, spec.num_sparse), jnp.int32)
-        mean, _ = measure_latency(
-            lambda p, d, c: fixed_apply(plan, p, d, c), (params, dense, cat),
-            num_warmup_steps=5, num_trials=so.latency_trials,
-        )
-        return mean
+        fwd = lambda p, d, c: fixed_apply(plan, p, d, c)
+        if so.latency_estimator == "measured":
+            lat, _ = profiling.measure_latency(
+                fwd, (params, dense, cat),
+                num_warmup_steps=5, num_trials=so.latency_trials,
+            )
+        else:
+            if not _calib:
+                # One-time chip calibration (2 tiny jit signatures); sized
+                # down from the bench defaults — the denominators only need
+                # to be consistent across candidates.
+                _calib.update(profiling.calibrate_chip(
+                    matmul_dim=2048, copy_mb=64, trials=8,
+                ))
+            lat = profiling.estimate_latency_cost_model(
+                fwd, (params, dense, cat), _calib
+            )
+        _latency_cache[plan] = lat
+        return lat
 
     def eval_fn(choices):
         t0 = time.time()

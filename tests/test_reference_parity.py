@@ -68,18 +68,23 @@ NUM_BLOCKS = 3
 # ---------------------------------------------------------------------------
 
 
+def _t2j(t):
+    """torch tensor -> jnp array, with an explicit host copy: jnp.asarray
+    zero-copies aligned CPU numpy buffers, which ALIAS torch's parameter
+    storage — torch's in-place optimizer step would silently mutate the
+    'transplanted' snapshot (caught by the backward-parity tests)."""
+    return jnp.asarray(np.array(t.detach().numpy()))
+
+
 def _lin(mod):
-    p = {"w": jnp.asarray(mod.weight.detach().numpy().T)}
+    p = {"w": _t2j(mod.weight.T)}
     if mod.bias is not None:
-        p["b"] = jnp.asarray(mod.bias.detach().numpy())
+        p["b"] = _t2j(mod.bias)
     return p
 
 
 def _ln(mod):
-    return {
-        "scale": jnp.asarray(mod.weight.detach().numpy()),
-        "bias": jnp.asarray(mod.bias.detach().numpy()),
-    }
+    return {"scale": _t2j(mod.weight), "bias": _t2j(mod.bias)}
 
 
 def _map_node(node, name: str):
@@ -122,10 +127,10 @@ def _map_node(node, name: str):
             p["proj_ln"] = _ln(node._proj_ln)
         mha = node._mha
         p["mha"] = {
-            "w_in": jnp.asarray(mha.in_proj_weight.detach().numpy().T),
-            "b_in": jnp.asarray(mha.in_proj_bias.detach().numpy()),
-            "w_out": jnp.asarray(mha.out_proj.weight.detach().numpy().T),
-            "b_out": jnp.asarray(mha.out_proj.bias.detach().numpy()),
+            "w_in": _t2j(mha.in_proj_weight.T),
+            "b_in": _t2j(mha.in_proj_bias),
+            "w_out": _t2j(mha.out_proj.weight.T),
+            "b_out": _t2j(mha.out_proj.bias),
         }
         p["attn_ln"] = _ln(node._attn_ln)
         p["fc1"] = _lin(node.attn_fc1)
@@ -170,7 +175,9 @@ def _map_block(tb, node_names, active=None):
 
 def _map_model(tm, node_names, fixed_active=None):
     table = jnp.asarray(
-        np.concatenate([e.weight.detach().numpy() for e in tm._embedding], axis=0)
+        np.concatenate(
+            [np.array(e.weight.detach().numpy()) for e in tm._embedding], axis=0
+        )
     )
     blocks = []
     for i, tb in enumerate(tm._blocks):
@@ -284,3 +291,156 @@ def test_supernet_masked_forward_matches_reference(use_layernorm, rng):
         supernet_apply(cfg, mapped, jnp.asarray(dense), jnp.asarray(cat), masks_full)
     )
     np.testing.assert_allclose(got_full, want_full, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Backward/optimizer transplant parity: one full training step on BOTH
+# frameworks from identical transplanted weights must produce the same
+# updated params.  This pins whole-model gradient semantics end-to-end —
+# tril-flatten VJP, mask gradients, LN backward, and the
+# L2-term -> clip(5.0) -> Adagrad(eps-after-sqrt) composition — which the
+# per-piece optimizer tests (test_train.py) cannot see.
+# Ref: nasrec/utils/train_utils.py:247-287 (total_loss = BCE + get_l2_loss,
+# clip_grad_norm_(5.0), optimizer.step()), nasrec/main_train.py:151-154
+# (Adagrad(lr, eps=1e-2)).
+# ---------------------------------------------------------------------------
+
+
+def _torch_l2(model, reg):
+    """Reference L2 semantics (ref: nasrec/utils/train_utils.py:91-115 —
+    reg * sum of squared L2 norms over params with ndim >= 2; 1-D params
+    skipped).  Re-stated here because importing train_utils pulls in
+    fvcore, which this environment does not ship."""
+    loss = torch.tensor(0.0)
+    for _, p in model.named_parameters():
+        if len(p.shape) >= 2:
+            loss = loss + reg * torch.square(torch.norm(p, p=2))
+    return loss
+
+
+def _torch_train_steps(tm, batches, lr, wd, n_steps):
+    """Run n identical reference training steps; returns clip norms."""
+    opt = torch.optim.Adagrad(tm.parameters(), lr=lr, eps=1e-2)
+    loss_fn = torch.nn.BCEWithLogitsLoss()
+    norms = []
+    for dense, cat, y in batches[:n_steps]:
+        opt.zero_grad()
+        logits = tm(torch.tensor(dense), torch.tensor(cat))
+        total = loss_fn(logits, torch.tensor(y)) + _torch_l2(tm, wd)
+        total.backward()
+        norms.append(
+            float(torch.nn.utils.clip_grad_norm_(tm.parameters(), 5.0))
+        )
+        opt.step()
+    return norms
+
+
+def _make_batches(rng, n_steps):
+    return [
+        (
+            rng.randn(8, NUM_DENSE).astype(np.float32),
+            rng.randint(0, VOCAB, (8, NUM_SPARSE)).astype(np.int32),
+            rng.randint(0, 2, (8, 1)).astype(np.float32),
+        )
+        for _ in range(n_steps)
+    ]
+
+
+def _assert_tree_close(got, want, rtol, atol):
+    flat_g = jax.tree_util.tree_flatten_with_path(got)[0]
+    flat_w = {jax.tree_util.keystr(p): l
+              for p, l in jax.tree_util.tree_flatten_with_path(want)[0]}
+    assert len(flat_g) == len(flat_w)
+    for path, leaf in flat_g:
+        key = jax.tree_util.keystr(path)
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_w[key]),
+            rtol=rtol, atol=atol, err_msg=key,
+        )
+
+
+def test_backward_transplant_parity_fixed(rng):
+    """Two reference training steps vs two make_train_step steps on the
+    transplanted fixed subnet: updated params must agree leaf for leaf.
+    Two steps (not one) so the second step also pins the adagrad
+    accumulator composition (acc += clipped_grad^2 feeding the next
+    update)."""
+    from nasrec_tpu.train.loop import TrainState, make_train_step
+    from nasrec_tpu.train.optim import make_optimizer
+
+    lr, wd, n_steps = 0.12, 0.05, 2
+    tm = _torch_fixed_model(use_layernorm=True)
+    space = OPS_CONFIG_LIB["xlarge"]
+    active = [set(m["active_nodes"]) for m in CHOICE["micro"]]
+    params0 = _map_model(tm, space.node_names, fixed_active=active)
+
+    batches = _make_batches(rng, n_steps)
+    norms = _torch_train_steps(tm, batches, lr, wd, n_steps)
+    # The clip path must actually trigger or the test proves nothing about
+    # clip-then-adagrad composition (wd=0.05 over the N(0,1) embedding
+    # table guarantees a large L2 gradient norm).
+    assert norms[0] > 5.0, norms
+    want = _map_model(tm, space.node_names, fixed_active=active)
+
+    plan = build_fixed_plan(
+        CHOICE, space, NUM_BLOCKS, NUM_DENSE, NUM_SPARSE,
+        tuple([VOCAB] * NUM_SPARSE), use_layernorm=True,
+    )
+    opt = make_optimizer("adagrad")
+    step = make_train_step(
+        lambda p, d, c: fixed_apply(plan, p, d, c),
+        opt, lambda s: lr, l2_reg=wd, grad_clip=5.0, donate=False,
+    )
+    state = TrainState(params0, opt.init(params0), jnp.zeros((), jnp.int32))
+    for dense, cat, y in batches:
+        state, _ = step(state, jnp.asarray(dense), jnp.asarray(cat),
+                        jnp.asarray(y))
+    _assert_tree_close(state.params, want, rtol=5e-4, atol=2e-5)
+
+
+def test_backward_transplant_parity_supernet_masked(rng):
+    """Same two-step parity in weight-sharing mode: the reference's
+    zero-substitution backward vs our mask-driven backward.  Inactive
+    nodes' params must move ONLY by their L2 gradient on both sides."""
+    from nasrec.supernet.supernet import SuperNet, ops_config_lib
+
+    from nasrec_tpu.train.loop import TrainState, make_train_step
+    from nasrec_tpu.train.optim import make_optimizer
+
+    lr, wd, n_steps = 0.12, 0.05, 2
+    torch.manual_seed(1)
+    tm = SuperNet(
+        num_blocks=NUM_BLOCKS, ops_config=ops_config_lib["xlarge"],
+        use_layernorm=True, num_embeddings=[VOCAB] * NUM_SPARSE,
+        sparse_input_size=NUM_SPARSE, embedding_dim=16,
+        path_sampling_strategy="full-path",
+    )
+    with torch.no_grad():
+        tm(torch.randn(4, NUM_DENSE), torch.randint(0, VOCAB, (4, NUM_SPARSE)))
+    tm.configure_path_sampling_strategy("fixed-path")
+    tm.configure_choice(CHOICE)
+
+    space = OPS_CONFIG_LIB["xlarge"]
+    params0 = _map_model(tm, space.node_names)
+    batches = _make_batches(rng, n_steps)
+    norms = _torch_train_steps(tm, batches, lr, wd, n_steps)
+    assert norms[0] > 5.0, norms
+    want = _map_model(tm, space.node_names)
+
+    cfg = SuperNetConfig(
+        space=space, num_blocks=NUM_BLOCKS, num_dense=NUM_DENSE,
+        num_sparse=NUM_SPARSE, vocab_sizes=tuple([VOCAB] * NUM_SPARSE),
+        use_layernorm=True,
+    )
+    masks = choice_to_masks(CHOICE, space, NUM_BLOCKS)
+    opt = make_optimizer("adagrad")
+    step = make_train_step(
+        lambda p, d, c, m: supernet_apply(cfg, p, d, c, m),
+        opt, lambda s: lr, l2_reg=wd, grad_clip=5.0, has_masks=True,
+        donate=False,
+    )
+    state = TrainState(params0, opt.init(params0), jnp.zeros((), jnp.int32))
+    for dense, cat, y in batches:
+        state, _ = step(state, jnp.asarray(dense), jnp.asarray(cat),
+                        jnp.asarray(y), masks)
+    _assert_tree_close(state.params, want, rtol=5e-4, atol=2e-5)

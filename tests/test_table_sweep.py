@@ -321,3 +321,23 @@ def test_schedule_budget_tight(rng):
         need = int(np.where(e > s, -(-(e - aligned) // unit), 0).sum())
         budget = -(-n // unit) + n_tiles + 1
         assert need <= budget, (trial, need, budget)
+
+        # Tie the bound to the real implementation: the schedule builder's
+        # own active-step count (each tile contributes exactly one is_last
+        # step) must equal the formula above and fit the budget.
+        _, _, is_first, is_last, span_s, span_e = tsp._build_schedule(
+            jnp.asarray(starts, jnp.int32), n_tiles, n, unit
+        )
+        is_first, is_last = np.asarray(is_first), np.asarray(is_last)
+        span_s, span_e = np.asarray(span_s), np.asarray(span_e)
+        assert is_first.shape[0] == budget
+        if need == 0:
+            # Degenerate all-sentinel schedule: one forced zero-delta apply.
+            assert is_first[0] == 1 and is_last[0] == 1
+            assert span_s[0] == span_e[0] == 0
+        else:
+            built = int(np.flatnonzero(is_last).max()) + 1
+            assert built == need, (trial, built, need)
+            assert int(is_first.sum()) == int(is_last.sum()) == int(
+                (e > s).sum()
+            )

@@ -143,6 +143,67 @@ def test_search_regularized_ea_small():
     assert len(results) == 2  # top_k per generation x generations
 
 
+def test_search_latency_penalty_ea(monkeypatch):
+    """Latency-criterion EA (beta > 0) end-to-end over >2 candidates with
+    the default compile-free cost-model estimator: every scored candidate
+    must carry a positive finite latency, the estimator must be traced (not
+    jitted) per DISTINCT plan only, and chip calibration must run at most
+    once per process (ref: searcher.py:65-73)."""
+    import nasrec_tpu.profiling as profiling
+    import nasrec_tpu.workloads as workloads
+
+    est_calls = {"n": 0}
+    calib_calls = {"n": 0}
+    real_est = profiling.estimate_latency_cost_model
+
+    def counting_est(fn, args, calib):
+        est_calls["n"] += 1
+        return real_est(fn, args, calib)
+
+    def fake_calibrate(**kw):
+        calib_calls["n"] += 1
+        return {"matmul_flops_per_s": 1e12, "copy_bytes_per_s": 1e11}
+
+    # workloads references profiling via the module, so patching the module
+    # attributes intercepts the production call sites.
+    monkeypatch.setattr(profiling, "estimate_latency_cost_model", counting_est)
+    monkeypatch.setattr(profiling, "calibrate_chip", fake_calibrate)
+    monkeypatch.setattr(
+        profiling, "measure_latency",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("cost-model mode must never wall-clock-measure")
+        ),
+    )
+
+    so = SearchOptions(
+        method="regularized-ea", config="autoctr", num_blocks=2,
+        ckpt_path=None, max_train_steps=2, max_eval_steps=1,
+        n_generations=2, n_childs=2, init_population=3, sample_size=2,
+        ea_top_k=2, group_size=2,
+        criterion="test_loss_penalty_lat", beta=0.5, target_latency=1e-3,
+        latency_batch_size=32,
+    )
+    results = search_from_supernet(so, _data(), log_fn=lambda s: None)
+    assert len(results) == 4
+    for r in results:
+        assert np.isfinite(r["test_loss"])
+        assert np.isfinite(r["latency"]) and r["latency"] > 0.0
+    assert calib_calls["n"] == 1
+    # 3 init + 2 gens x 2 childs = 7 scored candidates; the plan cache may
+    # only dedupe, never add.
+    assert 1 <= est_calls["n"] <= 7
+
+
+def test_latency_estimator_rejects_unknown():
+    so = SearchOptions(
+        config="autoctr", num_blocks=2, ckpt_path=None,
+        criterion="test_loss_penalty_lat", beta=0.5,
+        latency_estimator="bogus",
+    )
+    with pytest.raises(ValueError, match="latency_estimator"):
+        search_from_supernet(so, _data(), log_fn=lambda s: None)
+
+
 def test_eval_subnets_from_scratch(tmp_path):
     results = eval_subnets_from_scratch(
         num_subnets=2, config="autoctr", num_blocks=2,
