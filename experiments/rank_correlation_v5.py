@@ -24,8 +24,13 @@ Design changes vs v1-v4:
     fine-tune data) at the large budget.
 
 Writes experiments/rank_correlation_v5_results.json.
-Run: PYTHONPATH=/root/.axon_site:/root/repo python experiments/rank_correlation_v5.py
-(TPU host, ~45-60 min)
+Run: env -u PALLAS_AXON_POOL_IPS python experiments/rank_correlation_v5.py
+(CPU by default — the study is 48+ DISTINCT tiny-model jit signatures, and on
+the axon runtime each remote compile is 30-250 s (measured: ~11 min for the
+first scratch cell), so the TPU run is compile-bound at ~5+ hours while CPU
+compiles in seconds and the models are small enough that CPU step time does
+not matter; rankings are framework-internal so CPU f32 numerics are fine.
+Pass --tpu to keep the ambient backend.)
 """
 
 import json
@@ -36,6 +41,11 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if "--tpu" not in sys.argv:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 from nasrec_tpu.config import OPS_CONFIG_LIB
 from nasrec_tpu.data.synthetic import SyntheticSpec
@@ -51,8 +61,16 @@ from nasrec_tpu.workloads import (
 from rank_correlation import kendall_tau, spearman_rho
 
 OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "rankcorr_v5")
-SPEC = SyntheticSpec(vocab=2000, signal_scale=0.3,
-                     interaction_pairs=32, interaction_scale=4.0)
+# Spec CALIBRATED by probe_v5_calibration.py (round 5): the originally
+# planned (vocab=2000, ss=0.3, pairs=32, is=4.0) was unlearnable — all
+# archs sat at chance (0.6927-0.6932 across the first 6 cells of the
+# aborted run), exactly as the probe's host-side decomposition predicted
+# (mains-only 0.716 > chance).  Of the probed learnable specs, vocab=500
+# (mean 0.63515, std 6.1e-4, range 1.6e-3 over 6 archs) gives more
+# arch-driven spread than vocab=200 (std 4.4e-4) while staying well below
+# the mains-only floor 0.643.
+SPEC = SyntheticSpec(vocab=500, signal_scale=0.7,
+                     interaction_pairs=16, interaction_scale=1.0)
 N_ARCHS = 24
 NUM_BLOCKS = 3
 CONFIG = "autoctr"

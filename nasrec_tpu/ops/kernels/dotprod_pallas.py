@@ -88,9 +88,13 @@ def _bwd_kernel(t_ref, full_ref, dt_ref):
     e, n, _ = t.shape
     outs = []
     for d in range(e):
-        acc = full[:, 0, :] * t[d, 0][None, :]    # [n, TB]
+        # full[:, j, :] == full[j] by SYMMETRY — the first-axis slice is a
+        # contiguous sublane block, while the middle-axis slice forced a
+        # Mosaic relayout per j term (measured 7.8 -> 1.4 ms at the
+        # flagship b2 shape, experiments/probe_dotprod_b2.py round 5).
+        acc = full[0] * t[d, 0][None, :]          # [n, TB]
         for j in range(1, n):
-            acc = acc + full[:, j, :] * t[d, j][None, :]
+            acc = acc + full[j] * t[d, j][None, :]
         outs.append(acc)
     dt_ref[:] = jnp.stack(outs, axis=0).astype(dt_ref.dtype)
 

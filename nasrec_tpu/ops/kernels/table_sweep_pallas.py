@@ -319,7 +319,12 @@ def _sweep_kernel(
                 # mantissa bits; each subtraction is Sterbenz-exact) and
                 # summing three single-pass dots reconstructs the f32
                 # gradient EXACTLY at half the MXU cost of HIGHEST — and
-                # bf16 operands halve the scratch VMEM.
+                # bf16 operands halve the scratch VMEM.  (Round-5 A/B:
+                # stacking the three passes into ONE K=3cw dot measured
+                # 1.2 ms SLOWER at flagship scale — the concat copies cost
+                # more than the saved MXU issues; the 7 ms full-vs-nodot gap
+                # is the _accumulate body's real VPU+MXU execution time,
+                # serialized against the tile stream, probe_sweep_diag.py.)
                 hi = seg.astype(jnp.bfloat16)
                 r1 = seg - hi.astype(jnp.float32)
                 mid = r1.astype(jnp.bfloat16)
