@@ -50,6 +50,9 @@ cfg = SuperNetConfig(
     num_sparse=spec.num_sparse, vocab_sizes=tuple(vocab), use_layernorm=True,
 )
 params = supernet_init(jax.random.PRNGKey(0), cfg)
+# The train step donates its state, deleting these leaves — keep a host
+# snapshot for the body-only stages below.
+params_host = jax.device_get(params)
 rng = np.random.RandomState(0)
 opt = make_optimizer("adagrad")
 
@@ -117,8 +120,11 @@ def timeit(name, fn, *args, k=(3, 10)):
 # 2. body alone (embedded fwd / fwd+bwd on a fixed stem)
 stem = jnp.asarray((rng.randn(BS, spec.num_sparse * cfg.emb_dim) * 0.1
                     ).astype(np.float32))
-rest = {k: v for k, v in params.items() if k != "embedding"}
-m0 = masks_buf()
+rest = jax.tree_util.tree_map(
+    jnp.asarray, {k: v for k, v in params_host.items() if k != "embedding"}
+)
+buf, sel = masks_buf()   # (device buffer, index) -> select one mask pytree
+m0 = jax.tree_util.tree_map(lambda x: x[sel], buf)
 
 
 def fwd(rp, s, d, m):
