@@ -21,14 +21,20 @@ into one Pallas forward and one Pallas backward:
 The attention math itself is the gen-3 formulation (head_dim = E/H = 2, so
 scores are sums of TWO outer products over slots — lane-parallel VPU
 broadcast/fma/sublane-reduce with batch on the lane axis; see
-attention_pallas.py for the generation history).  The backward kernel
-recomputes the forward from the single saved residual `x` (flash-style) and
-produces dx plus all twelve parameter gradients in one pass, accumulating
-weight/bias grads across batch tiles in revisited output blocks.
+attention_pallas.py for the generation history).  The TRAINING forward
+saves the attention output o and the per-head softmax stats (max +
+inverse-sum, [2H, S, B]) as extra kernel outputs; the backward rebuilds
+the probabilities as exp(sb - m) * iden — bit-identical to the forward's,
+with no slab reductions — and skips the o recompute entirely (round 5:
+the sublane max/sum reductions and the p*v passes were the backward's
+largest VPU slices; saving them cut the flagship body's bwd ~17 -> ~13 ms
+for +0.5 ms of residual traffic).  dx plus all twelve parameter gradients
+come out in one pass, weight/bias grads accumulating across batch tiles
+in revisited output blocks.
 
-Per-block HBM traffic drops from ~12 round trips of [*, S, B] activations
-(f+b) to: read x + write out (fwd), read x + dout + write dx (bwd), plus
-the parameter tiles.
+Per-block HBM traffic: read x + write out/o/stats (fwd), read
+x + dout + o + stats + write dx (bwd), plus the parameter tiles — still
+far below the ~12 XLA round trips the fusion replaced.
 
 Ref semantics: nasrec/supernet/modules.py:599-688 (8-head MHA with residual
 + LN(init 0.17) + 2-layer relu FFN + residual + LN; the projection LN and
@@ -64,9 +70,12 @@ def _pick_tile(b: int, e: int, s: int, *, bwd: bool) -> int:
     # Coefficients CALIBRATED against Mosaic's actual scoped-vmem stack
     # (fwd at S=64/TB=256 allocates 109.9M -> ~430KB/lane), not a hand count
     # of live values — Mosaic keeps far more alive than the dataflow needs.
-    n_io = 3 if bwd else 2
-    k_feat = 60 if bwd else 50       # in units of E feature rows
-    k_slab = 20 if bwd else 15
+    # Round 5: the backward gained two residual inputs (saved attention o +
+    # softmax stats -> n_io 5) but dropped the in-kernel attention-forward
+    # recompute (fewer live feature rows and score slabs).
+    n_io = 5 if bwd else 2
+    k_feat = 50 if bwd else 50       # in units of E feature rows
+    k_slab = 14 if bwd else 15
     per_lane = 4 * (2 * n_io * 2 * e * s + k_feat * e * s + k_slab * s * s)
     fits = [t for t in (512, 256, 128) if t * per_lane <= VMEM_BUDGET]
     if fits:
@@ -177,33 +186,48 @@ def _rowsum(z):
     )
 
 
-def _attn_fwd(qkv, num_heads):
-    """Gen-3 tiny-head attention on [3E, S, TB] block values -> o [E, S, TB]."""
+def _attn_fwd(qkv, num_heads, with_stats=False):
+    """Gen-3 tiny-head attention on [3E, S, TB] block values -> o [E, S, TB].
+
+    with_stats=True additionally returns the per-head softmax statistics
+    stacked as [2H, S, TB] (H rows of max, then H rows of 1/sum): the
+    training forward saves them so the backward's probability recompute
+    skips BOTH slab reductions (sublane max + sum are the slow VPU ops at
+    these shapes; the exp itself is recomputed flash-style either way)."""
     e = qkv.shape[0] // 3
     hd = e // num_heads
     scale = float(1.0 / np.sqrt(hd))
     q, k, v = qkv[:e] * scale, qkv[e:2 * e], qkv[2 * e:]
-    outs = []
+    outs, ms, idens = [], [], []
     for h in range(num_heads):
         sb = q[h * hd][:, None, :] * k[h * hd][None, :, :]
         for d in range(1, hd):
             sb = sb + q[h * hd + d][:, None, :] * k[h * hd + d][None, :, :]
         m = jnp.max(sb, axis=1, keepdims=True)
         p = jnp.exp(sb - m)
-        p = p * (1.0 / jnp.sum(p, axis=1, keepdims=True))
+        iden = 1.0 / jnp.sum(p, axis=1, keepdims=True)
+        p = p * iden
         for d in range(hd):
             outs.append(jnp.sum(p * v[h * hd + d][None, :, :], axis=1))
-    return jnp.stack(outs, axis=0)
+        ms.append(m[:, 0, :])
+        idens.append(iden[:, 0, :])
+    o = jnp.stack(outs, axis=0)
+    if with_stats:
+        return o, jnp.stack(ms + idens, axis=0)
+    return o
 
 
-def _attn_fwd_bwd(qkv, do, num_heads):
-    """Recompute probs and return (o, dqkv) — the gen-3 backward with the
-    forward's output folded in (o is needed for the out-proj weight grad)."""
+def _attn_bwd(qkv, do, stats, num_heads):
+    """Gen-3 attention backward with the forward's saved softmax stats
+    ([2H, S, TB]: H max rows + H inverse-sum rows): p is recomputed as
+    exp(sb - m) * iden — bit-identical to the forward's p, with no slab
+    reductions — and the attention output is NOT recomputed (the forward
+    saves o for the out-proj weight grad)."""
     e = qkv.shape[0] // 3
     hd = e // num_heads
     scale = float(1.0 / np.sqrt(hd))
     q, k, v = qkv[:e], qkv[e:2 * e], qkv[2 * e:]
-    outs, dq, dk, dv = [], [], [], []
+    dq, dk, dv = [], [], []
     for h in range(num_heads):
         qs = [q[h * hd + d] * scale for d in range(hd)]
         ks = [k[h * hd + d] for d in range(hd)]
@@ -214,28 +238,30 @@ def _attn_fwd_bwd(qkv, do, num_heads):
         for d in range(1, hd):
             sb = sb + qs[d][:, None, :] * ks[d][None, :, :]
             dp = dp + dos[d][:, None, :] * vs[d][None, :, :]
-        m = jnp.max(sb, axis=1, keepdims=True)
-        p = jnp.exp(sb - m)
-        p = p * (1.0 / jnp.sum(p, axis=1, keepdims=True))
+        p = jnp.exp(sb - stats[h][:, None, :]) * stats[num_heads + h][:, None, :]
         ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True)) * scale
         for d in range(hd):
-            outs.append(jnp.sum(p * vs[d][None, :, :], axis=1))
             dq.append(jnp.sum(ds * ks[d][None, :, :], axis=1))
             dk.append(jnp.sum(ds * q[h * hd + d][:, None, :], axis=0))
             dv.append(jnp.sum(p * dos[d][:, None, :], axis=0))
-    o = jnp.stack(outs, axis=0)
-    dqkv = jnp.stack(dq + dk + dv, axis=0)
-    return o, dqkv
+    return jnp.stack(dq + dk + dv, axis=0)
 
 
 _SMEM_IDX = (4, 5, 10, 11)   # LN scale/bias params (SMEM scalar reads)
 
 
 def _fwd_kernel(x_ref, w_in, b_in, w_out, b_out, g1, h1,
-                fc1w, fc1b, fc2w, fc2b, g2, h2, out_ref, *, num_heads):
+                fc1w, fc1b, fc2w, fc2b, g2, h2, out_ref, *res_refs,
+                num_heads):
     x = x_ref[:].astype(jnp.float32)
     qkv = _lin(w_in[:], b_in[:], x)
-    o = _attn_fwd(qkv, num_heads)
+    if res_refs:                      # training fwd: save bwd residuals
+        o_ref, stats_ref = res_refs
+        o, stats = _attn_fwd(qkv, num_heads, with_stats=True)
+        o_ref[:] = o
+        stats_ref[:] = stats
+    else:
+        o = _attn_fwd(qkv, num_heads)
     a = _lin(w_out[:], b_out[:], o)
     x4, _, _ = _ln_e(a + x, g1, h1)
     p1 = _lin(fc1w[:], fc1b[:], x4)
@@ -244,7 +270,8 @@ def _fwd_kernel(x_ref, w_in, b_in, w_out, b_out, g1, h1,
     out_ref[:] = out.astype(out_ref.dtype)
 
 
-def _bwd_kernel(x_ref, do_ref, w_in_r, b_in_r, w_out_r, b_out_r, g1, h1,
+def _bwd_kernel(x_ref, do_ref, o_ref, stats_ref,
+                w_in_r, b_in_r, w_out_r, b_out_r, g1, h1,
                 fc1w_r, fc1b_r, fc2w_r, fc2b_r, g2, h2,
                 dx_ref, *dprm_refs, num_heads):
     w_in, b_in = w_in_r[:], b_in_r[:]
@@ -253,10 +280,12 @@ def _bwd_kernel(x_ref, do_ref, w_in_r, b_in_r, w_out_r, b_out_r, g1, h1,
     fc2w, fc2b = fc2w_r[:], fc2b_r[:]
     x = x_ref[:].astype(jnp.float32)
     dout = do_ref[:].astype(jnp.float32)
+    o_fwd = o_ref[:]
+    stats = stats_ref[:]
 
-    # --- forward recomputation (x is the only saved residual) -------------
+    # --- forward recomputation (attention o and its softmax stats come
+    # saved from the forward; only the post-attention chain re-runs) -------
     qkv = _lin(w_in, b_in, x)
-    o_fwd = _attn_fwd(qkv, num_heads)
     a = _lin(w_out, b_out, o_fwd)
     x4, xh1, inv1 = _ln_e(a + x, g1, h1)
     p1 = _lin(fc1w, fc1b, x4)
@@ -279,9 +308,10 @@ def _bwd_kernel(x_ref, do_ref, w_in_r, b_in_r, w_out_r, b_out_r, g1, h1,
     dr1 = _ln_e_bwd(dx4, xh1, inv1, g1)
     do = _lin_t(w_out, dr1)
     dbout = _rowsum(dr1)
-    # attention (recomputes probs; also returns o for the weight grad)
-    o, dqkv = _attn_fwd_bwd(qkv, do, num_heads)
-    dwout = _wgrad(o, dr1)
+    # attention backward (probs rebuilt from the saved stats — bit-identical
+    # to the forward's p, with no slab reductions)
+    dqkv = _attn_bwd(qkv, do, stats, num_heads)
+    dwout = _wgrad(o_fwd, dr1)
     dwin = _wgrad(x, dqkv)
     dbin = _rowsum(dqkv)
     dx = dr1 + _lin_t(w_in, dqkv)
@@ -330,21 +360,34 @@ def _x_spec(rows, s, tb):
                         memory_space=pltpu.VMEM)
 
 
-def _run_fwd(x, prm, num_heads, interpret):
+def _run_fwd(x, prm, num_heads, interpret, save_residuals=False):
+    """save_residuals=True (training) additionally returns the attention
+    output o [E, S, B] f32 and softmax stats [2H, S, B] f32 for the
+    backward; the eval/primal path compiles the single-output variant."""
     e, s, b = x.shape
     tb = _pick_tile(b, e, s, bwd=False)
+    out_shape = jax.ShapeDtypeStruct((e, s, b), x.dtype)
+    out_spec = _x_spec(e, s, tb)
+    if save_residuals:
+        out_shape = (
+            out_shape,
+            jax.ShapeDtypeStruct((e, s, b), jnp.float32),
+            jax.ShapeDtypeStruct((2 * num_heads, s, b), jnp.float32),
+        )
+        out_spec = [out_spec, _x_spec(e, s, tb),
+                    _x_spec(2 * num_heads, s, tb)]
     return pl.pallas_call(
         functools.partial(_fwd_kernel, num_heads=num_heads),
-        out_shape=jax.ShapeDtypeStruct((e, s, b), x.dtype),
+        out_shape=out_shape,
         grid=(_cdiv(b, tb),),
         in_specs=[_x_spec(e, s, tb)] + _prm_specs(prm),
-        out_specs=_x_spec(e, s, tb),
+        out_specs=out_spec,
         compiler_params=_params(),
         interpret=interpret,
     )(x, *prm)
 
 
-def _run_bwd(x, do, prm, num_heads, interpret):
+def _run_bwd(x, do, o, stats, prm, num_heads, interpret):
     e, s, b = x.shape
     tb = _pick_tile(b, e, s, bwd=True)
     grad_shapes = tuple(
@@ -358,11 +401,12 @@ def _run_bwd(x, do, prm, num_heads, interpret):
         functools.partial(_bwd_kernel, num_heads=num_heads),
         out_shape=(jax.ShapeDtypeStruct((e, s, b), x.dtype),) + grad_shapes,
         grid=(_cdiv(b, tb),),
-        in_specs=[_x_spec(e, s, tb), _x_spec(e, s, tb)] + _prm_specs(prm),
+        in_specs=[_x_spec(e, s, tb), _x_spec(e, s, tb), _x_spec(e, s, tb),
+                  _x_spec(2 * num_heads, s, tb)] + _prm_specs(prm),
         out_specs=[_x_spec(e, s, tb)] + grad_specs,
         compiler_params=_params(),
         interpret=interpret,
-    )(x, do, *prm)
+    )(x, do, o, stats, *prm)
     return out[0], tuple(out[1:])
 
 
@@ -377,12 +421,14 @@ def transformer_body_fused(x, prm, num_heads: int = 8,
 
 
 def _vjp_fwd(x, prm, num_heads, interpret):
-    return _run_fwd(x, prm, num_heads, interpret), (x, prm)
+    out, o, stats = _run_fwd(x, prm, num_heads, interpret,
+                             save_residuals=True)
+    return out, (x, o, stats, prm)
 
 
 def _vjp_bwd(num_heads, interpret, res, g):
-    x, prm = res
-    dx, dprm = _run_bwd(x, g, prm, num_heads, interpret)
+    x, o, stats, prm = res
+    dx, dprm = _run_bwd(x, g, o, stats, prm, num_heads, interpret)
     return dx, dprm
 
 
